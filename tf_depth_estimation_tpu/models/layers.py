@@ -1,0 +1,62 @@
+"""slim-semantics conv building blocks as Flax modules.
+
+The reference's layers are ``slim.conv2d`` / ``slim.conv2d_transpose`` under an arg_scope
+(``nets_optflow_depth.py:82-87``): SAME padding, ReLU activation, batch-norm normalizer
+(momentum = slim 'decay', epsilon 1e-3, center-only — slim's ``scale=False`` default),
+xavier/glorot-uniform weight init, no conv bias when batch-norm follows.
+
+TPU-first notes: NHWC layout (XLA:TPU native), parameters float32 with an optional
+bfloat16 compute dtype for MXU throughput; convs are ``nn.Conv``/``nn.ConvTranspose``
+which lower to ``lax.conv_general_dilated`` on the MXU.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class SlimConv(nn.Module):
+    """conv -> (batchnorm) -> activation, slim defaults."""
+
+    features: int
+    kernel: Sequence[int]
+    stride: int = 1
+    use_bn: bool = True
+    bn_momentum: float = 0.999  # slim batch_norm 'decay' default
+    activation: Optional[Callable] = nn.relu
+    transpose: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
+        kwargs = dict(
+            features=self.features,
+            kernel_size=tuple(self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            use_bias=not self.use_bn,
+            kernel_init=nn.initializers.glorot_uniform(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )
+        x = conv_cls(**kwargs)(x)
+        if self.use_bn:
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=1e-3,
+                use_scale=False,  # slim batch_norm default scale=False
+                use_bias=True,
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def concat(xs):
+    return jnp.concatenate(xs, axis=-1)
