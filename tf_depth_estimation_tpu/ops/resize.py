@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -85,18 +86,67 @@ def _resize(img: jnp.ndarray, size, weight_fn) -> jnp.ndarray:
     return _apply_separable(img, weight_fn(H, out_h), weight_fn(W, out_w))
 
 
+def _up2_bilinear_axis(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact TF1 x2 bilinear along one spatial axis as a stencil (no matmul).
+
+    align_corners=False with scale 0.5: out[2k] = in[k]; out[2k+1] = (in[k]+in[k+1])/2
+    with the last tap clamped — exactly the rows of ``_bilinear_weights(n, 2n)``.
+    """
+    last = jax.lax.slice_in_dim(img, img.shape[axis] - 1, img.shape[axis], axis=axis)
+    nxt = jnp.concatenate(
+        [jax.lax.slice_in_dim(img, 1, img.shape[axis], axis=axis), last], axis=axis
+    )
+    odd = 0.5 * (img + nxt)
+    stacked = jnp.stack([img, odd], axis=axis + 1)  # interleave even/odd
+    new_shape = list(img.shape)
+    new_shape[axis] *= 2
+    return stacked.reshape(new_shape)
+
+
 def resize_bilinear(img: jnp.ndarray, size) -> jnp.ndarray:
-    """TF1 ``tf.image.resize_bilinear(align_corners=False)`` parity. img: [B,H,W,C]."""
+    """TF1 ``tf.image.resize_bilinear(align_corners=False)`` parity. img: [B,H,W,C].
+
+    Exact-x2 upsamples (the decoder's disp feedback path,
+    ``nets_optflow_depth.py:124,131,138``) take a stencil fast path — full precision, no
+    matmul; everything else runs as separable MXU matmuls.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    B, H, W, C = img.shape
+    if (H, W) == (out_h, out_w):
+        return img
+    if out_h == 2 * H and out_w == 2 * W:
+        return _up2_bilinear_axis(_up2_bilinear_axis(img, 1), 2)
     return _resize(img, size, _bilinear_weights)
 
 
 def resize_area(img: jnp.ndarray, size) -> jnp.ndarray:
-    """TF1 ``tf.image.resize_area`` parity (used for all loss pyramids)."""
+    """TF1 ``tf.image.resize_area`` parity (used for all loss pyramids).
+
+    Integer downscale factors reduce to exact average pooling (reshape + mean — pure VPU);
+    fractional ratios fall back to the separable matmul.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    B, H, W, C = img.shape
+    if (H, W) == (out_h, out_w):
+        return img
+    if out_h and out_w and H % out_h == 0 and W % out_w == 0:
+        fh, fw = H // out_h, W // out_w
+        return img.reshape(B, out_h, fh, out_w, fw, C).mean(axis=(2, 4))
     return _resize(img, size, _area_weights)
 
 
 def resize_nearest(img: jnp.ndarray, size) -> jnp.ndarray:
-    """TF1 ``tf.image.resize_nearest_neighbor(align_corners=False)`` parity."""
+    """TF1 ``tf.image.resize_nearest_neighbor(align_corners=False)`` parity.
+
+    Exact integer upscales reduce to ``repeat`` (out[k] = in[k // f]); otherwise the
+    separable selection matmul.
+    """
+    out_h, out_w = int(size[0]), int(size[1])
+    B, H, W, C = img.shape
+    if (H, W) == (out_h, out_w):
+        return img
+    if out_h % H == 0 and out_w % W == 0:
+        return jnp.repeat(jnp.repeat(img, out_h // H, axis=1), out_w // W, axis=2)
     return _resize(img, size, _nearest_weights)
 
 
