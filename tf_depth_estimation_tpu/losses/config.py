@@ -1,0 +1,66 @@
+"""Loss-weight tables: typed replacements of the reference's post-parse FLAGS blocks.
+
+Every reference experiment differs only in these constants (SURVEY §5 'Config / flag
+system').  Classmethods reproduce each entry point's block verbatim.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class LossWeights:
+    """Weight table + geometry shared by all loss pipelines."""
+
+    height: int
+    width: int
+    num_scales: int = 4
+    max_steps: int = 200_000
+
+    smooth_weight: float = 1.0
+    data_weight: float = 0.0
+    optflow_weight: float = 0.0
+    depth_weight: float = 1.0
+    depth_sig_weight: float = 0.0
+    explain_reg_weight: float = 0.0
+    cam_weight_rot: float = 0.0
+    cam_weight_tran: float = 0.0
+    depth_weight_consist: float = 0.0
+
+    @classmethod
+    def depth_only(cls) -> "LossWeights":
+        """``train_depth_only.py:33-40`` — 240x720 colon pairs (BASELINE config 2)."""
+        return cls(height=240, width=720, max_steps=20_000,
+                   smooth_weight=1.0, data_weight=0.01, depth_weight=1.0)
+
+    @classmethod
+    def depth_then_cam(cls) -> "LossWeights":
+        """``train_depth_then_cam.py:44-52`` — DeMoN 192x256 (BASELINE config 3)."""
+        return cls(height=192, width=256, max_steps=200_000,
+                   smooth_weight=1.0, data_weight=1.0, depth_weight=1.0,
+                   explain_reg_weight=0.2)
+
+    @classmethod
+    def optflow_combine(cls) -> "LossWeights":
+        """``train_optflow_combine.py:32-41`` — 224x480 (BASELINE config 4)."""
+        return cls(height=224, width=480, max_steps=20_000,
+                   smooth_weight=0.5, data_weight=0.5, optflow_weight=1.0,
+                   depth_weight=50.0)
+
+    @classmethod
+    def on_demon(cls) -> "LossWeights":
+        """``train_depth_only_onDemon.py:42-49`` — DeMoN 192x256 (BASELINE config 5)."""
+        return cls(height=192, width=256, max_steps=200_000,
+                   smooth_weight=1.0, data_weight=0.01, depth_weight=1.0)
+
+    @classmethod
+    def split_training(cls) -> "LossWeights":
+        """``split_training.py:58-72`` — pairwise curriculum (600k steps)."""
+        return cls(height=192, width=256, max_steps=600_001,
+                   smooth_weight=50.0, data_weight=0.0, depth_weight=500.0,
+                   depth_sig_weight=1000.0, explain_reg_weight=1.0,
+                   cam_weight_rot=160.0, cam_weight_tran=10.0,
+                   depth_weight_consist=10.0)
+
+    def scale_hw(self, s: int) -> tuple[int, int]:
+        return int(self.height / 2**s), int(self.width / 2**s)
