@@ -1,0 +1,67 @@
+"""Benchmark: depth-inference frames/sec/chip at 576x384 (BASELINE north-star metric).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+Baseline = 10,000 frames/sec/chip on TPU v5e (BASELINE.json north_star; the TF reference
+publishes no numbers and ran per-frame feed_dict inference at batch 1).
+
+Timing notes: the axon runtime's dispatch is fully async and ``block_until_ready`` does
+not block over the tunnel — every measurement forces a device->host readback of a scalar
+reduction of the output, which serializes on the full compute chain.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
+
+    H, W = 384, 576
+    model = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+
+    x0 = jnp.asarray(rng.rand(8, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+
+    @jax.jit
+    def fwd_sum(x):
+        # scalar checksum forces completion when read back on the host
+        return jnp.sum(model.apply(variables, x, train=False)[0].astype(jnp.float32))
+
+    best = 0.0
+    best_batch = 0
+    for B in (32, 64, 128):
+        x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+        s = float(fwd_sum(x))  # compile + warm
+        assert np.isfinite(s)
+        # timed: enqueue n batches, read back the last checksum
+        n = 20
+        t0 = time.time()
+        for _ in range(n):
+            out = fwd_sum(x)
+        s = float(out)
+        dt = time.time() - t0
+        fps = B * n / dt
+        print(f"# batch {B}: {fps:.0f} frames/s ({dt/n*1e3:.1f} ms/batch)",
+              file=sys.stderr)
+        if fps > best:
+            best, best_batch = fps, B
+
+    baseline = 10000.0
+    print(json.dumps({
+        "metric": f"depth_frames_per_sec_per_chip_{W}x{H}_b{best_batch}",
+        "value": round(best, 1),
+        "unit": "frames/sec/chip",
+        "vs_baseline": round(best / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

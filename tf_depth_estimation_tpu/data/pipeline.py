@@ -1,0 +1,143 @@
+"""Threaded host loading + double-buffered device prefetch.
+
+TPU-native replacement for the reference's TF1 queue-runners
+(``tf.train.slice_input_producer`` / ``tf.train.batch``,
+``imageselect_Dataloader_optflow.py:41-56``) and for the feeding side of the DeMoN C++
+reader threads.  Design: a small worker pool decodes samples into pinned NumPy batches on
+the host; the prefetcher keeps ``prefetch_depth`` batches in flight to HBM via
+``jax.device_put`` so the accelerator never waits on input (SURVEY §3.5).
+
+Single-writer queue discipline — the only threaded component in the framework
+(SURVEY §5 'race detection').
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+class BatchLoader:
+    """Shuffled, epoch-repeating batch iterator over an indexable dataset.
+
+    ``dataset[i]`` must return a dict of numpy arrays with fixed shapes.  Mirrors the
+    reference queue semantics: shuffle each epoch, fixed batch size, drop remainder
+    (``tf.train.batch`` with a shuffling producer), bounded epochs optional
+    (slice_input_producer ``num_epochs``).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_epochs: Optional[int] = None,
+        num_workers: int = 2,
+        queue_depth: int = 4,
+        host_index: int = 0,
+        host_count: int = 1,
+    ):
+        if len(dataset) == 0:
+            raise ValueError("empty dataset")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_epochs = num_epochs
+        self.rng = np.random.RandomState(seed + host_index)
+        self.host_index = host_index
+        self.host_count = host_count
+        self.num_workers = num_workers
+        self.queue_depth = queue_depth
+
+    def _index_stream(self) -> Iterator[int]:
+        """Per-host shard of the shuffled index stream (multi-host input sharding:
+        each host reads a disjoint 1/host_count slice, SURVEY §2.8)."""
+        epoch = 0
+        n = len(self.dataset)
+        while self.num_epochs is None or epoch < self.num_epochs:
+            idx = np.arange(n)
+            if self.shuffle:
+                self.rng.shuffle(idx)
+            shard = idx[self.host_index :: self.host_count]
+            yield from shard
+            epoch += 1
+
+    def _collate(self, samples: Sequence[dict]) -> dict:
+        out = {}
+        for k in samples[0]:
+            out[k] = np.stack([s[k] for s in samples], axis=0)
+        return out
+
+    def __iter__(self) -> Iterator[dict]:
+        """Background-threaded batch stream."""
+        idx_stream = self._index_stream()
+        idx_lock = threading.Lock()
+        out_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        stop = threading.Event()
+        SENTINEL = None
+
+        def producer():
+            while not stop.is_set():
+                batch_idx = []
+                with idx_lock:
+                    try:
+                        for _ in range(self.batch_size):
+                            batch_idx.append(next(idx_stream))
+                    except StopIteration:
+                        break
+                samples = [self.dataset[i] for i in batch_idx]
+                out_q.put(self._collate(samples))
+            out_q.put(SENTINEL)
+
+        workers = [
+            threading.Thread(target=producer, daemon=True)
+            for _ in range(self.num_workers)
+        ]
+        for t in workers:
+            t.start()
+
+        finished = 0
+        try:
+            while finished < self.num_workers:
+                item = out_q.get()
+                if item is SENTINEL:
+                    finished += 1
+                    continue
+                yield item
+        finally:
+            stop.set()
+            # drain so producers blocked on put() can exit
+            while not out_q.empty():
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    break
+
+
+def device_prefetch(batches: Iterator[dict], size: int = 2, sharding=None) -> Iterator[dict]:
+    """Keep ``size`` batches in flight on-device (double buffering by default).
+
+    With a ``sharding`` (e.g. batch-sharded NamedSharding over the data mesh axis),
+    ``device_put`` scatters each host batch across local devices — the multi-chip input
+    path; without one, batches land on the default device.
+    """
+    import collections
+
+    import jax
+
+    buf = collections.deque()
+
+    def put(b):
+        if sharding is not None:
+            return jax.device_put(b, sharding)
+        return jax.device_put(b)
+
+    for b in batches:
+        buf.append(put(b))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

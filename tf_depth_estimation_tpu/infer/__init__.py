@@ -1,0 +1,5 @@
+"""Batched TPU inference + test-time refinement (SURVEY §2.6 batch_prediction*/refine)."""
+
+from tf_depth_estimation_tpu.infer.predictor import DepthPredictor, PairPredictor
+
+__all__ = ["DepthPredictor", "PairPredictor"]

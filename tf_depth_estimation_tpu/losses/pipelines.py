@@ -296,21 +296,25 @@ def optflow_combine_loss(image_left, image_right, pred_depths, pred_flow_x, pred
                    "optflow": optflow_loss, "pixel": pixel_loss}
 
 
-def on_demon_loss(pred_depths, label, w: LossWeights):
+def on_demon_loss(pred_depths, label, w: LossWeights, scale_offset: int = 0,
+                  smooth_only: bool = True):
     """DeMoN-stream depth training (ref ``train_depth_only_onDemon.py:138-178``,
     BASELINE config 5).
 
     Faithful quirk: the reference's ``total_loss = smooth_loss`` only
     (``train_depth_only_onDemon.py:176``) — the L1 depth term is computed (unweighted)
-    but not added.  Both are returned; the experiment config decides which to optimize.
+    but not added; ``smooth_only=False`` optimizes both (the evident intent).
+
+    ``scale_offset``: first prediction's pyramid scale — 2 for the truncated DepthPoseNet
+    the reference feeds here (its 4-scale loop over 2 predictions is broken at HEAD,
+    SURVEY §7 'reference drift').
     """
     depth_loss = 0.0
     smooth_loss = 0.0
-    for s in range(w.num_scales):
-        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(
-            1.0 / pred_depths[s]
-        )
+    for i, pred in enumerate(pred_depths):
+        s = i + scale_offset
+        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(1.0 / pred)
         curr_label = resize_area(label, w.scale_hw(s))
-        depth_loss += jnp.mean(jnp.abs(curr_label - pred_depths[s]))
-    total = smooth_loss
+        depth_loss += jnp.mean(jnp.abs(curr_label - pred))
+    total = smooth_loss if smooth_only else smooth_loss + depth_loss
     return total, {"total": total, "smooth": smooth_loss, "depth": depth_loss}

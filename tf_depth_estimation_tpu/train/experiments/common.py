@@ -1,0 +1,81 @@
+"""Shared plumbing for the experiment CLIs."""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+
+from tf_depth_estimation_tpu.data import BatchLoader, DemonDataset, DemonReaderParams, device_prefetch
+from tf_depth_estimation_tpu.data.demon import DemonReaderParams  # noqa: F811
+from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
+from tf_depth_estimation_tpu.train.loop import MetricLogger, load_into_state
+
+
+def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
+    """Flags mirroring the reference ``tf.app.flags`` blocks."""
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset_dir", default=defaults.get("dataset_dir", ""))
+    p.add_argument("--validate_dir", default="./validation")
+    p.add_argument("--checkpoint_dir", default=defaults.get("checkpoint_dir", "./checkpoints"))
+    p.add_argument("--learning_rate", type=float, default=2e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--batch_size", type=int, default=defaults.get("batch_size", 10))
+    p.add_argument("--max_steps", type=int, default=defaults.get("max_steps", 20000))
+    p.add_argument("--validation_check", type=int, default=100)
+    p.add_argument("--save_latest_freq", type=int,
+                   default=defaults.get("save_latest_freq", 1000))
+    p.add_argument("--summary_freq", type=int, default=defaults.get("summary_freq", 100))
+    p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--init_checkpoint_file", default=None)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--num_epochs", type=int, default=1500)
+    return p
+
+
+def compute_dtype(args):
+    return jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+
+def demon_sources(dataset_dir: str):
+    """Weighted HDF5 sources mirroring ``Demon_Data_loader.py:69-74``."""
+    pats = [
+        ("sun3d_train*.h5", 0.8),
+        ("rgbd_*_train.h5", 0.2),
+        ("mvs_breisach.h5", 0.3),
+        ("mvs_citywall.h5", 0.3),
+        ("scenes11_train.h5", 0.2),
+    ]
+    sources = []
+    for pat, wgt in pats:
+        for path in sorted(glob.glob(os.path.join(dataset_dir, pat))):
+            sources.append((path, wgt))
+    if not sources:  # fall back to any .h5 in the dir (synthetic / converted data)
+        sources = [(p, 1.0) for p in sorted(glob.glob(os.path.join(dataset_dir, "*.h5")))]
+    if not sources:
+        raise FileNotFoundError(f"no HDF5 sources under {dataset_dir}")
+    return sources
+
+
+def demon_loader(args, height: int, width: int, test_phase: bool = False):
+    params = DemonReaderParams(batch_size=args.batch_size, scaled_height=height,
+                               scaled_width=width, test_phase=test_phase)
+    ds = DemonDataset(demon_sources(args.dataset_dir), params, seed=args.seed)
+    loader = BatchLoader(ds, args.batch_size, seed=args.seed, num_epochs=None)
+    return device_prefetch(iter(loader))
+
+
+def setup_run(args, state, group: str = "model"):
+    """Checkpoint manager + logger + optional resume (``--continue_train``)."""
+    mgr = CheckpointManager(args.checkpoint_dir)
+    logger = MetricLogger(args.checkpoint_dir)
+    if args.continue_train and mgr.latest_step() is not None:
+        from tf_depth_estimation_tpu.train.loop import _save_tree
+
+        tree = mgr.restore_group(group, like=_save_tree(state))
+        state = load_into_state(state, tree)
+        print(f"resumed from step {int(state.step)}")
+    return mgr, logger, state

@@ -1,0 +1,69 @@
+"""Supervised depth training — BASELINE config 2 (ref ``train_depth_only.py``).
+
+DispNet (sigmoid*4 variant) on the left image of 240x720 colon pairs; L1 depth + 2nd-order
+smoothness; in-loop validation with the reference's si-log-RMSE metric every
+``--validation_check`` steps (ref ``train_depth_only.py:353-377``).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from tf_depth_estimation_tpu.data import BatchLoader, PairDepthDataset, device_prefetch
+from tf_depth_estimation_tpu.losses import LossWeights
+from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
+from tf_depth_estimation_tpu.train.experiments.common import base_parser, compute_dtype, setup_run
+from tf_depth_estimation_tpu.train.loop import run_training
+from tf_depth_estimation_tpu.train.state import create_train_state
+from tf_depth_estimation_tpu.train.steps import (
+    jit_step,
+    make_depth_only_step,
+    make_depth_only_val_step,
+)
+
+
+def main(argv=None):
+    p = base_parser(__doc__, batch_size=10, max_steps=20000)
+    p.add_argument("--image_height", type=int, default=240)
+    p.add_argument("--image_width", type=int, default=720)
+    args = p.parse_args(argv)
+
+    H, W = args.image_height, args.image_width
+    w = dataclasses.replace(LossWeights.depth_only(), height=H, width=W,
+                            max_steps=args.max_steps)
+
+    def make_loader(split, batch_size):
+        ds = PairDepthDataset(args.dataset_dir, split=split, image_height=H, image_width=W,
+                              resized_height=H, resized_width=W)
+        return device_prefetch(iter(BatchLoader(ds, batch_size, seed=args.seed,
+                                                num_epochs=args.num_epochs)))
+
+    batches = make_loader("train", args.batch_size)
+    model = DispNet(DispNetVariant.depth4(), dtype=compute_dtype(args))
+    state = create_train_state(model, jnp.zeros((args.batch_size, H, W, 3)),
+                               learning_rate=args.learning_rate, beta1=args.beta1)
+    mgr, logger, state = setup_run(args, state)
+
+    val_batches = None
+
+    def val_fn(st):
+        nonlocal val_batches
+        try:
+            if val_batches is None:
+                val_batches = make_loader("val", 1)
+            return make_depth_only_val_step(w)(st, next(val_batches))
+        except (FileNotFoundError, StopIteration):
+            return None
+
+    state, last = run_training(
+        state=state, train_step=jit_step(make_depth_only_step(w)), batches=batches,
+        max_steps=args.max_steps, logger=logger, checkpoint=mgr,
+        save_latest_freq=args.save_latest_freq, validation_check=args.validation_check,
+        val_fn=val_fn, summary_freq=args.summary_freq,
+    )
+    return state, last
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,111 @@
+"""Training loop: step timing, validation cadence, checkpointing, metric logging.
+
+Replaces ``slim.learning.train`` + the manual session loops
+(``train_depth_only.py:353-377``, ``train_depth_then_cam.py:315-356``).  Throughput
+counters (steps/sec, frames/sec) are first-class — they are the BASELINE metric set —
+and timing uses a host readback per log interval (the axon runtime's dispatch is fully
+async; see utils/timing notes).
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Iterator, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class MetricLogger:
+    """JSONL metric stream + stdout, stand-in for the reference's TB summaries."""
+
+    def __init__(self, directory: str, quiet: bool = False):
+        os.makedirs(directory, exist_ok=True)
+        self.path = os.path.join(directory, "metrics.jsonl")
+        self._f = open(self.path, "a")
+        self.quiet = quiet
+
+    def log(self, step: int, scope: str, values: dict):
+        rec = {"step": int(step), "scope": scope}
+        rec.update({k: float(v) for k, v in values.items()})
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+        if not self.quiet:
+            flat = " ".join(f"{k}={v:.5g}" for k, v in rec.items() if k not in ("step", "scope"))
+            print(f"[{scope}] step {step}: {flat}")
+
+    def close(self):
+        self._f.close()
+
+
+def run_training(
+    *,
+    state,
+    train_step: Callable,
+    batches: Iterator[dict],
+    max_steps: int,
+    logger: MetricLogger,
+    checkpoint=None,
+    checkpoint_group: str = "model",
+    save_latest_freq: int = 1000,
+    validation_check: int = 0,
+    val_fn: Optional[Callable] = None,
+    summary_freq: int = 100,
+):
+    """Drive ``train_step`` over ``batches`` until ``max_steps``.
+
+    Returns the final state.  Loss schedules read the step counter carried in the
+    train state (``state.step``).
+    """
+    start = int(state.step)
+    t0 = time.time()
+    frames = 0
+    last_metrics = None
+    for step in range(start, max_steps):
+        try:
+            batch = next(batches)
+        except StopIteration:
+            break
+        state, metrics = train_step(state, batch)
+        frames += next(iter(batch.values())).shape[0]
+
+        if summary_freq and (step + 1) % summary_freq == 0:
+            metrics = {k: float(v) for k, v in metrics.items()}  # forces readback/sync
+            dt = time.time() - t0
+            n = step + 1 - start
+            metrics["steps_per_sec"] = n / dt
+            metrics["frames_per_sec"] = frames / dt
+            logger.log(step + 1, "train", metrics)
+            last_metrics = metrics
+
+        if validation_check and val_fn and (step + 1) % validation_check == 0:
+            val = val_fn(state)
+            if val is not None:
+                logger.log(step + 1, "val", {k: float(v) for k, v in val.items()})
+
+        if checkpoint is not None and (step + 1) % save_latest_freq == 0:
+            checkpoint.save(step + 1, {checkpoint_group: _save_tree(state)})
+
+    if checkpoint is not None and checkpoint.latest_step() != int(state.step):
+        checkpoint.save(int(state.step), {checkpoint_group: _save_tree(state)}, force=True)
+    return state, last_metrics
+
+
+def _save_tree(state):
+    return {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+
+
+def load_into_state(state, tree):
+    """Restore a saved group into a TrainState (shapes must match)."""
+    return state.replace(
+        step=jnp.asarray(tree["step"]),
+        params=tree["params"],
+        batch_stats=tree["batch_stats"],
+        opt_state=tree["opt_state"],
+    )
