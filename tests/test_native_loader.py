@@ -1,0 +1,38 @@
+"""Native C++ loader: parity with the NumPy dataset path."""
+import numpy as np
+import pytest
+
+from tf_depth_estimation_tpu.data import PairDepthDataset
+from tf_depth_estimation_tpu.data.native import NativePairSampler, available
+from tf_depth_estimation_tpu.data.synthetic import write_colon_pair_dataset
+
+pytestmark = pytest.mark.skipif(not available(), reason="libfastloader.so not built")
+
+H, W = 48, 144
+
+
+@pytest.fixture(scope="module")
+def colon_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("colon_native")
+    return write_colon_pair_dataset(str(root), num_frames=5, H=H, W=W)
+
+
+def test_native_matches_numpy_loader(colon_root):
+    ds = PairDepthDataset(colon_root, split="train", image_height=H, image_width=W,
+                          resized_height=H, resized_width=W)
+    native = list(NativePairSampler(ds, num_threads=2, shuffle=False))
+    assert len(native) == len(ds)
+    for i, ns in enumerate(native):
+        ref = ds[i]
+        # libjpeg DCT rounding can differ from cv2's by ~1 LSB; resize math is identical
+        np.testing.assert_allclose(ns["tgt_image"], ref["tgt_image"], atol=2.5)
+        np.testing.assert_allclose(ns["label"], ref["label"], atol=1e-5)
+        np.testing.assert_allclose(ns["intrinsics"], ref["intrinsics"], rtol=1e-6)
+        np.testing.assert_allclose(ns["tgt2src_projs"], ref["tgt2src_projs"], rtol=1e-6)
+
+
+def test_native_multithreaded_complete(colon_root):
+    ds = PairDepthDataset(colon_root, split="train", image_height=H, image_width=W,
+                          resized_height=H, resized_width=W)
+    seen = [s["m_scale"] for s in NativePairSampler(ds, num_threads=4, shuffle=True)]
+    assert len(seen) == len(ds)

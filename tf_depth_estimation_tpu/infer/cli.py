@@ -1,0 +1,66 @@
+"""Batch-prediction CLI — equivalent of ``batch_prediction.py`` / ``batch_prediction_cam_est.py``.
+
+``python -m tf_depth_estimation_tpu.infer.cli --dataset_dir D --output_dir O
+--checkpoint_dir C [--mode depth|pair]``: restores the latest checkpoint, globs ``*.jpg``,
+writes ``<name>_z.bin`` float32 depth dumps (and ``<frame>.txt`` poses in pair mode).
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax.numpy as jnp
+
+from tf_depth_estimation_tpu.infer.predictor import DepthPredictor, PairPredictor
+from tf_depth_estimation_tpu.models import DepthPoseNet, DispNet, DispNetVariant
+from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
+from tf_depth_estimation_tpu.train.state import create_train_state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--dataset_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_group", default="model")
+    p.add_argument("--mode", choices=["depth", "pair"], default="depth")
+    p.add_argument("--image_height", type=int, default=224,
+                   help="network input height (ref batch_prediction.py: 224)")
+    p.add_argument("--image_width", type=int, default=224)
+    p.add_argument("--out_height", type=int, default=240,
+                   help="output .bin resolution (ref: 240x720)")
+    p.add_argument("--out_width", type=int, default=720)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--no_bilateral", action="store_true")
+    p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    args = p.parse_args(argv)
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    H, W = args.image_height, args.image_width
+
+    if args.mode == "depth":
+        model = DispNet(DispNetVariant.depth4(), dtype=dtype)
+        ex = jnp.zeros((1, H, W, 3))
+    else:
+        model = DepthPoseNet(full_resolution=False, dtype=dtype)
+        ex = jnp.zeros((1, H, W, 6))
+    state = create_train_state(model, ex)
+
+    mgr = CheckpointManager(args.checkpoint_dir)
+    from tf_depth_estimation_tpu.train.loop import _save_tree, load_into_state
+
+    tree = mgr.restore_group(args.checkpoint_group, like=_save_tree(state))
+    state = load_into_state(state, tree)
+
+    cls = DepthPredictor if args.mode == "depth" else PairPredictor
+    pred = cls(state.params, state.batch_stats, height=H, width=W,
+               batch_size=args.batch_size, dtype=dtype)
+    written = pred.predict_directory(
+        args.dataset_dir, args.output_dir, out_height=args.out_height,
+        out_width=args.out_width, bilateral=not args.no_bilateral,
+    )
+    print(f"wrote {len(written)} depth maps to {args.output_dir}")
+    return written
+
+
+if __name__ == "__main__":
+    main()

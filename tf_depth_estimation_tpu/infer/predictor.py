@@ -90,6 +90,56 @@ class DepthPredictor:
         return written
 
 
+class FlowAugmentedPredictor:
+    """Depth from an 11-channel flow-augmented input
+    (ref ``batch_prediction_optflow.py:106-139``): [I ‖ I1 ‖ flow(2) ‖ warp(I1, flow)].
+
+    The flow field comes from ``.flo`` files (``util.readFlow``) and the warped view is
+    computed host-side with the NumPy bilinear sampler — exactly the reference pipeline,
+    but batched on device.
+    """
+
+    def __init__(self, params, batch_stats=None, *, height: int = 192, width: int = 256,
+                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16):
+        self.height, self.width, self.batch_size = height, width, batch_size
+        self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        self._fwd = jax.jit(
+            lambda x: self.model.apply(variables, x, train=False)[0][0][..., 0]
+        )
+
+    @staticmethod
+    def assemble_input(I: np.ndarray, I1: np.ndarray, flow: np.ndarray) -> np.ndarray:
+        """Build the 11-channel input for one frame pair."""
+        from tf_depth_estimation_tpu.colmap.io import bilinear_interpolate
+
+        H, W = I1.shape[:2]
+        xs, ys = np.meshgrid(np.linspace(0, W - 1, W), np.linspace(0, H - 1, H))
+        I_warp = bilinear_interpolate(
+            I1, (xs + flow[:, :, 0]).reshape(-1), (ys + flow[:, :, 1]).reshape(-1)
+        ).reshape(H, W, 3).astype(np.float32)
+        return np.concatenate(
+            [I.astype(np.float32), I1.astype(np.float32), flow.astype(np.float32), I_warp],
+            axis=2,
+        )
+
+    def predict(self, inputs: np.ndarray) -> np.ndarray:
+        """[N, H, W, 11] -> [N, h, w] depth (padded batched forward)."""
+        N = inputs.shape[0]
+        out = []
+        for i in range(0, N, self.batch_size):
+            chunk = inputs[i : i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]),
+                                                        chunk.dtype)], 0)
+            z = np.asarray(self._fwd(jnp.asarray(chunk)))
+            out.append(z[: self.batch_size - pad])
+        return np.concatenate(out, 0)
+
+
 class PairPredictor:
     """Consecutive-frame depth + 6-DoF pose export (ref ``batch_prediction_cam_est.py``)."""
 
