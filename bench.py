@@ -37,12 +37,12 @@ def main():
 
     best = 0.0
     best_batch = 0
-    for B in (32, 64, 128):
+    for B in (64,):  # best throughput/compile-time point measured on v5e
         x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
         s = float(fwd_sum(x))  # compile + warm
         assert np.isfinite(s)
         # timed: enqueue n batches, read back the last checksum
-        n = 20
+        n = 30
         t0 = time.time()
         for _ in range(n):
             out = fwd_sum(x)
@@ -50,7 +50,7 @@ def main():
         dt = time.time() - t0
         fps = B * n / dt
         print(f"# batch {B}: {fps:.0f} frames/s ({dt/n*1e3:.1f} ms/batch)",
-              file=sys.stderr)
+              file=sys.stderr, flush=True)
         if fps > best:
             best, best_batch = fps, B
 

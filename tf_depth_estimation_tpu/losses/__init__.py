@@ -20,6 +20,12 @@ from tf_depth_estimation_tpu.losses.pipelines import (
     depth_then_cam_loss,
     optflow_combine_loss,
     on_demon_loss,
+    lr_full_loss,
+    lr_gt_pose_loss,
+    dim11_joint_loss,
+    only_image_loss,
+    optflow_only_loss,
+    optflow3_loss,
 )
 
 __all__ = [
@@ -35,4 +41,10 @@ __all__ = [
     "depth_then_cam_loss",
     "optflow_combine_loss",
     "on_demon_loss",
+    "lr_full_loss",
+    "lr_gt_pose_loss",
+    "dim11_joint_loss",
+    "only_image_loss",
+    "optflow_only_loss",
+    "optflow3_loss",
 ]

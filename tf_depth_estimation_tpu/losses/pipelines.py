@@ -296,6 +296,282 @@ def optflow_combine_loss(image_left, image_right, pred_depths, pred_flow_x, pred
                    "optflow": optflow_loss, "pixel": pixel_loss}
 
 
+def _softmax_exp(logits):
+    return jax.nn.softmax(logits[..., :2], axis=-1)[..., 1:2]
+
+
+def lr_full_loss(image_left, image_right,
+                 single_left, single_right,
+                 pair_left, pair_right,
+                 pred_poses_right, pred_poses_left,
+                 exp_left, exp_right,
+                 gt_right_cam, intrinsics, label, w: LossWeights):
+    """Full symmetric L/R training (ref ``train_depth_then_cam_lr.py:211-355``).
+
+    Two single-view disp nets (shared weights) + pairwise DepthPoseNet in both
+    directions.  Per scale: smooth(1/d) on all four depth lists; guarded depth L1 on the
+    single-left net ×depth_weight (no /2^s); photometric warps with *predicted* angleaxis
+    poses + exp weighting ×data_weight (no /2^s); at s=0 a full-4x4 pose MSE vs GT both
+    directions ×cam_weight; exp-weighted L/R inverse-depth consistency ×depth_weight.
+    (The reference's 3-arg ``depth_net(input, pred_depth_single, ...)`` call doesn't
+    match any net in its repo — SURVEY drift note; the pair net here is the standard
+    full-resolution DepthPoseNet.)
+    """
+    smooth_loss = 0.0
+    depth_loss = 0.0
+    pixel_loss = 0.0
+    exp_loss = 0.0
+    cam_loss = 0.0
+    consist_loss = 0.0
+    B = image_left.shape[0]
+
+    GT_l2r = pose_vec_to_mat(gt_right_cam, "angleaxis")
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        for d in (pair_left[s], pair_right[s], single_left[s], single_right[s]):
+            smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(1.0 / d)
+
+        curr_label = resize_area(label, hw)
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+
+        diff = replace_nonfinite(curr_label - single_left[s])
+        depth_loss += jnp.mean(jnp.abs(diff)) * w.depth_weight
+
+        warp_left = projective_inverse_warp(
+            curr_right, 1.0 / pair_left[s][..., 0], pred_poses_right[:, 0, :],
+            intrinsics[:, s], fmt="angleaxis",
+        )
+        warp_right = projective_inverse_warp(
+            curr_left, 1.0 / pair_right[s][..., 0], pred_poses_left[:, 0, :],
+            intrinsics[:, s], fmt="angleaxis",
+        )
+        err_left = jnp.abs(warp_left.image - curr_left)
+        err_right = jnp.abs(warp_right.image - curr_right)
+
+        if s == 0:
+            cam_loss += jnp.mean((GT_l2r - warp_left.pose) ** 2) * w.cam_weight
+            cam_loss += jnp.mean(
+                (invert_transform(GT_l2r) - warp_right.pose) ** 2
+            ) * w.cam_weight
+
+        ref_mask = reference_explain_mask(B, w.height, w.width, s)
+        exp_l = _softmax_exp(exp_left[s])
+        exp_r = _softmax_exp(exp_right[s])
+        if w.explain_reg_weight > 0:
+            exp_loss += w.explain_reg_weight * explain_reg_loss(exp_left[s][..., :2], ref_mask)
+            exp_loss += w.explain_reg_weight * explain_reg_loss(exp_right[s][..., :2], ref_mask)
+            pixel_loss += jnp.mean(err_left * exp_l) * w.data_weight
+            pixel_loss += jnp.mean(err_right * exp_r) * w.data_weight
+
+        r_err = consistent_depth_error(1.0 / pair_right[s], warp_left.warped_depth,
+                                       warp_left.coords)
+        l_err = consistent_depth_error(1.0 / pair_left[s], warp_right.warped_depth,
+                                       warp_right.coords)
+        consist_loss += jnp.mean(r_err * exp_l) * w.depth_weight
+        consist_loss += jnp.mean(l_err * exp_r) * w.depth_weight
+
+    total = pixel_loss + smooth_loss + exp_loss + cam_loss + consist_loss + depth_loss
+    return total, {"total": total, "pixel": pixel_loss, "smooth": smooth_loss,
+                   "exp": exp_loss, "cam": cam_loss, "consist": consist_loss,
+                   "depth": depth_loss}
+
+
+def lr_gt_pose_loss(image_left, image_right,
+                    pair_left, pair_right,
+                    pred_poses_right, pred_poses_left,
+                    exp_left, exp_right,
+                    gt_right_cam, intrinsics, label, w: LossWeights):
+    """GT-supervised symmetric L/R training
+    (ref ``train_depth_then_cam_lr_gtdepth_gtcam.py:195-340``).
+
+    Differences vs ``lr_full_loss``: no single nets; warps use the *predicted pose
+    matrices* with ``format='matrix'``; the cam loss is the asymmetric quirk — rotation of
+    l2r vs GT ×cam_weight_rot and translation of r2l vs inv(GT) ×cam_weight_tran; a fixed
+    (un-ramped) 5-delta sig loss at scale 0 ×sig_depth_weight; depth L1, pixel, and
+    consistency terms all carry the /2^s pyramid weighting.
+    """
+    smooth_loss = 0.0
+    depth_loss = 0.0
+    pixel_loss = 0.0
+    exp_loss = 0.0
+    consist_loss = 0.0
+    B = image_left.shape[0]
+
+    gt_l2r = pose_vec_to_mat(gt_right_cam, "angleaxis")
+    pose_l2r = pose_vec_to_mat(pred_poses_right[:, 0, :], "angleaxis")
+    pose_r2l = pose_vec_to_mat(pred_poses_left[:, 0, :], "angleaxis")
+    cam_loss = (
+        jnp.mean((gt_l2r[:, :3, :3] - pose_l2r[:, :3, :3]) ** 2) * w.cam_weight_rot
+        + jnp.mean(
+            (invert_transform(gt_l2r)[:, :3, 3] - pose_r2l[:, :3, 3]) ** 2
+        ) * w.cam_weight_tran
+    )
+
+    sig_loss = w.sig_depth_weight * _sig_loss(pair_left[0], label, (1, 2, 4, 8, 16))
+
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * (
+            second_order_smoothness(1.0 / pair_left[s])
+            + second_order_smoothness(1.0 / pair_right[s])
+        )
+        curr_label = resize_area(label, hw)
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+
+        diff = replace_nonfinite(curr_label - pair_left[s])
+        depth_loss += jnp.mean(jnp.abs(diff)) * w.depth_weight / 2**s
+
+        warp_left = projective_inverse_warp(
+            curr_right, 1.0 / pair_left[s][..., 0], pose_l2r, intrinsics[:, s],
+            fmt="matrix",
+        )
+        warp_right = projective_inverse_warp(
+            curr_left, 1.0 / pair_right[s][..., 0], pose_r2l, intrinsics[:, s],
+            fmt="matrix",
+        )
+        err_left = jnp.abs(warp_left.image - curr_left)
+        err_right = jnp.abs(warp_right.image - curr_right)
+
+        ref_mask = reference_explain_mask(B, w.height, w.width, s)
+        exp_l = _softmax_exp(exp_left[s])
+        exp_r = _softmax_exp(exp_right[s])
+        if w.explain_reg_weight > 0:
+            exp_loss += w.explain_reg_weight * explain_reg_loss(exp_left[s][..., :2], ref_mask)
+            exp_loss += w.explain_reg_weight * explain_reg_loss(exp_right[s][..., :2], ref_mask)
+            pixel_loss += jnp.mean(err_left * exp_l) * w.data_weight / 2**s
+            pixel_loss += jnp.mean(err_right * exp_r) * w.data_weight / 2**s
+
+        r_err = consistent_depth_error(1.0 / pair_right[s], warp_left.warped_depth,
+                                       warp_left.coords)
+        l_err = consistent_depth_error(1.0 / pair_left[s], warp_right.warped_depth,
+                                       warp_right.coords)
+        consist_loss += jnp.mean(r_err * exp_l) * w.consist_weight / 2**s
+        consist_loss += jnp.mean(l_err * exp_r) * w.consist_weight / 2**s
+
+    total = (pixel_loss + smooth_loss + exp_loss + cam_loss + consist_loss + depth_loss
+             + sig_loss)
+    return total, {"total": total, "pixel": pixel_loss, "smooth": smooth_loss,
+                   "exp": exp_loss, "cam": cam_loss, "consist": consist_loss,
+                   "depth": depth_loss, "sig": sig_loss}
+
+
+def dim11_joint_loss(image_left, image_right, pred_depths, pred_poses, pred_exp_logits,
+                     intrinsics, label, w: LossWeights):
+    """Joint depth+pose with depth supervision (ref ``train_depth_only_dim11.py:207-297``):
+    smooth on the raw prediction, plain depth L1 ×depth_weight (no /2^s), exp-weighted
+    photometric with the predicted euler pose ×data_weight (no /2^s)."""
+    smooth_loss = 0.0
+    depth_loss = 0.0
+    pixel_loss = 0.0
+    exp_loss = 0.0
+    B = image_left.shape[0]
+    n = min(len(pred_depths), w.num_scales)
+    for s in range(n):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(pred_depths[s])
+        curr_label = resize_area(label, hw)
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+        depth_loss += jnp.mean(jnp.abs(curr_label - pred_depths[s])) * w.depth_weight
+        warp = projective_inverse_warp(
+            curr_right, 1.0 / pred_depths[s][..., 0], pred_poses[:, 0, :],
+            intrinsics[:, s], fmt="euler",
+        )
+        err = jnp.abs(warp.image - curr_left)
+        if w.explain_reg_weight > 0:
+            ref_mask = reference_explain_mask(B, w.height, w.width, s)
+            exp_loss += w.explain_reg_weight * explain_reg_loss(
+                pred_exp_logits[s][..., :2], ref_mask
+            )
+            pixel_loss += jnp.mean(err * _softmax_exp(pred_exp_logits[s])) * w.data_weight
+        else:
+            pixel_loss += jnp.mean(err) * w.data_weight
+    total = depth_loss + smooth_loss + pixel_loss + exp_loss
+    return total, {"total": total, "depth": depth_loss, "smooth": smooth_loss,
+                   "pixel": pixel_loss, "exp": exp_loss}
+
+
+def only_image_loss(image_left, image_right, pred_depths, tgt2src_proj, intrinsics,
+                    w: LossWeights):
+    """Photometric-only training via the GT relative transform
+    (ref ``train_onlyimage.py:130-165``): warp the source by 1/pred with the GT 4x4
+    ×data_weight/2^s + smoothness."""
+    smooth_loss = 0.0
+    pixel_loss = 0.0
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(pred_depths[s])
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+        warp = projective_inverse_warp(
+            curr_right, 1.0 / pred_depths[s][..., 0], tgt2src_proj, intrinsics[:, s],
+            fmt="matrix",
+        )
+        pixel_loss += jnp.mean(jnp.abs(warp.image - curr_left)) * w.data_weight / 2**s
+    total = pixel_loss + smooth_loss
+    return total, {"total": total, "pixel": pixel_loss, "smooth": smooth_loss}
+
+
+def optflow_only_loss(image_left, image_right, pred_flow_x, pred_flow_y, label,
+                      tgt2src_proj, intrinsics, w: LossWeights):
+    """Flow-only training (ref ``train_optflow_only.py:120-167``): flow-warp photometric
+    ×data_weight/2^s + flow smoothness + L1 against the flow induced by the GT-depth
+    warp grid ×optflow_weight/2^s."""
+    smooth_loss = 0.0
+    pixel_loss = 0.0
+    optflow_loss = 0.0
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * (
+            second_order_smoothness(pred_flow_x[s]) + second_order_smoothness(pred_flow_y[s])
+        )
+        curr_label = resize_area(label, hw)
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+
+        proj = flow_warp(curr_right, pred_flow_x[s], pred_flow_y[s])
+        pixel_loss += jnp.mean(jnp.abs(proj - curr_left)) * w.data_weight / 2**s
+
+        gt_warp = projective_inverse_warp(
+            curr_right, 1.0 / curr_label[..., 0], tgt2src_proj, intrinsics[:, s],
+            fmt="matrix",
+        )
+        gt_fx, gt_fy = flow_from_coords(gt_warp.coords)
+        optflow_loss += jnp.mean(jnp.abs(pred_flow_x[s] - gt_fx)) * w.optflow_weight / 2**s
+        optflow_loss += jnp.mean(jnp.abs(pred_flow_y[s] - gt_fy)) * w.optflow_weight / 2**s
+    total = pixel_loss + smooth_loss + optflow_loss
+    return total, {"total": total, "pixel": pixel_loss, "smooth": smooth_loss,
+                   "optflow": optflow_loss}
+
+
+def optflow3_loss(image_left, image_right, pred_depths, label, tgt2src_proj, intrinsics,
+                  w: LossWeights):
+    """3-channel-head depth training (ref ``train_optflow.py:95-135``): L1 of the full
+    3-channel prediction against the (broadcast) label ×depth_weight/2^s + smooth +
+    GT-proj photometric ×data_weight/2^s (data_weight = 0 at HEAD)."""
+    smooth_loss = 0.0
+    depth_loss = 0.0
+    pixel_loss = 0.0
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(pred_depths[s])
+        curr_label = resize_area(label, hw)
+        curr_left = resize_area(image_left, hw)
+        curr_right = resize_area(image_right, hw)
+        depth_loss += jnp.mean(jnp.abs(curr_label - pred_depths[s])) * w.depth_weight / 2**s
+        if w.data_weight > 0:
+            warp = projective_inverse_warp(
+                curr_right, 1.0 / pred_depths[s][..., 0], tgt2src_proj,
+                intrinsics[:, s], fmt="matrix",
+            )
+            pixel_loss += jnp.mean(jnp.abs(warp.image - curr_left)) * w.data_weight / 2**s
+    total = depth_loss + smooth_loss + pixel_loss
+    return total, {"total": total, "depth": depth_loss, "smooth": smooth_loss,
+                   "pixel": pixel_loss}
+
+
 def on_demon_loss(pred_depths, label, w: LossWeights, scale_offset: int = 0,
                   smooth_only: bool = True):
     """DeMoN-stream depth training (ref ``train_depth_only_onDemon.py:138-178``,

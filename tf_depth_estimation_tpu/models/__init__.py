@@ -13,5 +13,7 @@ Here each family is ONE parameterized module.
 from tf_depth_estimation_tpu.models.dispnet import DispNet, DispNetVariant
 from tf_depth_estimation_tpu.models.depth_pose import DepthPoseNet, PoseExpNet
 from tf_depth_estimation_tpu.models.upconv import UpconvNet
+from tf_depth_estimation_tpu.models.composite import LRNet
 
-__all__ = ["DispNet", "DispNetVariant", "DepthPoseNet", "PoseExpNet", "UpconvNet"]
+__all__ = ["DispNet", "DispNetVariant", "DepthPoseNet", "PoseExpNet", "UpconvNet",
+           "LRNet"]

@@ -50,7 +50,8 @@ def create_train_state(
     rng: Optional[jax.Array] = None,
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, example_input, train=True)
+    inputs = example_input if isinstance(example_input, tuple) else (example_input,)
+    variables = model.init(rng, *inputs, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = tx or adam(learning_rate, beta1)

@@ -19,23 +19,29 @@ from tf_depth_estimation_tpu.losses.pipelines import (
     depth_only_loss,
     depth_only_val_loss,
     depth_then_cam_loss,
+    dim11_joint_loss,
+    lr_full_loss,
+    lr_gt_pose_loss,
     on_demon_loss,
+    only_image_loss,
+    optflow3_loss,
     optflow_combine_loss,
+    optflow_only_loss,
     pairwise_depth_loss,
     single_depth_loss,
 )
 
 
-def _forward(state, params, inputs, train: bool):
+def _forward(state, params, inputs, train: bool, extra=()):
     """Model apply handling presence/absence of batch stats (bn-free variants)."""
     if state.batch_stats:
         variables = {"params": params, "batch_stats": state.batch_stats}
         if train:
-            outs, mut = state.apply_fn(variables, inputs, train=True,
+            outs, mut = state.apply_fn(variables, inputs, *extra, train=True,
                                        mutable=["batch_stats"])
             return outs, mut["batch_stats"]
-        return state.apply_fn(variables, inputs, train=False), state.batch_stats
-    outs = state.apply_fn({"params": params}, inputs, train=train)
+        return state.apply_fn(variables, inputs, *extra, train=False), state.batch_stats
+    outs = state.apply_fn({"params": params}, inputs, *extra, train=train)
     return outs, state.batch_stats
 
 
@@ -159,6 +165,107 @@ def make_on_demon_step(w: LossWeights, smooth_only: bool = True):
         )
         total, comps = on_demon_loss(disps, batch["depth0"], w, scale_offset=2,
                                      smooth_only=smooth_only)
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_lr_full_step(w: LossWeights):
+    """``train_depth_then_cam_lr.py``: LRNet (single disp net on each view + pair net in
+    both orders) under the full symmetric loss.  Batch: DeMoN dict."""
+
+    def loss_of_params(state, batch, params):
+        pair = batch["image_pair"]
+        left, right = pair[..., :3], pair[..., 3:]
+        out, new_stats = _forward(state, params, left, train=True, extra=(right,))
+        gt_cam = jnp.concatenate([batch["translation"], batch["rotation"]], axis=-1)
+        total, comps = lr_full_loss(
+            left, right, out["single_left"], out["single_right"],
+            out["pair_left"], out["pair_right"], out["pose_right"], out["pose_left"],
+            out["exp_left"], out["exp_right"], gt_cam, batch["intrinsics"],
+            batch["depth0"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_lr_gt_step(w: LossWeights):
+    """``train_depth_then_cam_lr_gtdepth_gtcam.py``: pair nets both directions under the
+    GT-pose symmetric loss."""
+
+    def loss_of_params(state, batch, params):
+        pair = batch["image_pair"]
+        left, right = pair[..., :3], pair[..., 3:]
+        out, new_stats = _forward(state, params, left, train=True, extra=(right,))
+        gt_cam = jnp.concatenate([batch["translation"], batch["rotation"]], axis=-1)
+        total, comps = lr_gt_pose_loss(
+            left, right, out["pair_left"], out["pair_right"],
+            out["pose_right"], out["pose_left"], out["exp_left"], out["exp_right"],
+            gt_cam, batch["intrinsics"], batch["depth0"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_dim11_step(w: LossWeights):
+    """``train_depth_only_dim11.py``: DepthPoseNet (full-res) on the colon pair with the
+    joint depth+pose loss."""
+
+    def loss_of_params(state, batch, params):
+        pair = jnp.concatenate([batch["tgt_image"], batch["src_image"]], axis=-1)
+        (disps, poses, exps), new_stats = _forward(state, params, pair, train=True)
+        total, comps = dim11_joint_loss(
+            batch["tgt_image"], batch["src_image"], disps, poses, exps,
+            batch["intrinsics"], batch["label"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_only_image_step(w: LossWeights):
+    """``train_onlyimage.py``: disp net on the stacked pair; GT-proj photometric only."""
+
+    def loss_of_params(state, batch, params):
+        pair = jnp.concatenate([batch["tgt_image"], batch["src_image"]], axis=-1)
+        preds, new_stats = _forward(state, params, pair, train=True)
+        total, comps = only_image_loss(
+            batch["tgt_image"], batch["src_image"], preds,
+            batch["tgt2src_projs"][:, 0], batch["intrinsics"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_optflow_only_step(w: LossWeights):
+    """``train_optflow_only.py``: 3-channel disp net; channels 0/1 are flow x/y."""
+
+    def loss_of_params(state, batch, params):
+        preds, new_stats = _forward(state, params, batch["tgt_image"], train=True)
+        fx = [p[..., 0:1] for p in preds]
+        fy = [p[..., 1:2] for p in preds]
+        total, comps = optflow_only_loss(
+            batch["tgt_image"], batch["src_image"], fx, fy, batch["label"],
+            batch["tgt2src_projs"][:, 0], batch["intrinsics"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_optflow3_step(w: LossWeights):
+    """``train_optflow.py``: 3-channel disp net on the stacked pair; broadcast L1."""
+
+    def loss_of_params(state, batch, params):
+        pair = jnp.concatenate([batch["tgt_image"], batch["src_image"]], axis=-1)
+        preds, new_stats = _forward(state, params, pair, train=True)
+        total, comps = optflow3_loss(
+            batch["tgt_image"], batch["src_image"], preds, batch["label"],
+            batch["tgt2src_projs"][:, 0], batch["intrinsics"], w,
+        )
         return total, (comps, new_stats)
 
     return _make_step(loss_of_params)
