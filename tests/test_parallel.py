@@ -64,6 +64,20 @@ def test_dp_step_matches_single_device():
         np.testing.assert_allclose(np.array(x), np.array(y), atol=2.5 * lr)
 
 
+def test_multichip_predictor_matches_single():
+    from tf_depth_estimation_tpu.infer import DepthPredictor
+
+    model = DispNet(DispNetVariant.depth4())
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)), train=True)
+    frames = rng.rand(8, H, W, 3).astype(np.float32)
+    kw = dict(height=H, width=W, batch_size=8, dtype=jnp.float32)
+    p1 = DepthPredictor(variables["params"], variables.get("batch_stats"), **kw)
+    p8 = DepthPredictor(variables["params"], variables.get("batch_stats"),
+                        num_devices=8, **kw)
+    np.testing.assert_allclose(p1.predict_array(frames), p8.predict_array(frames),
+                               rtol=2e-4, atol=1e-5)
+
+
 def test_dryrun_multichip():
     import __graft_entry__
 

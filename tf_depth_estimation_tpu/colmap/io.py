@@ -165,6 +165,22 @@ def write_ply_points(path: str, points: np.ndarray, colors: Optional[np.ndarray]
             f.write(row + "\n")
 
 
+def write_wrl_surface(path: str, depth: np.ndarray, K: np.ndarray, step: int = 1):
+    """VRML 2.0 surface mesh from a depth map (ref ``util.py:283-296`` WRL writer)."""
+    pts = backproject_grid(depth, K)[::step, ::step]
+    H, W = pts.shape[:2]
+    with open(path, "w") as f:
+        f.write("#VRML V2.0 utf8\nShape {\n geometry IndexedFaceSet {\n  coord Coordinate { point [\n")
+        for v in pts.reshape(-1, 3):
+            f.write(f"   {v[0]:.6f} {v[1]:.6f} {v[2]:.6f},\n")
+        f.write("  ] }\n  coordIndex [\n")
+        for i in range(H - 1):
+            for j in range(W - 1):
+                a = i * W + j
+                f.write(f"   {a} {a + W} {a + 1} -1, {a + 1} {a + W} {a + W + 1} -1,\n")
+        f.write("  ]\n }\n}\n")
+
+
 def write_ply_surface(path: str, depth: np.ndarray, K: np.ndarray,
                       step: int = 1):
     """Triangulated grid mesh from a depth map (SfS surface writer,

@@ -45,19 +45,32 @@ def _postprocess(z: np.ndarray, out_height: int, out_width: int,
 
 
 class DepthPredictor:
-    """Single-image disparity inference (ref ``batch_prediction.py``)."""
+    """Single-image disparity inference (ref ``batch_prediction.py``).
+
+    ``num_devices > 1`` shards the batch over a data mesh (params replicated) — the
+    multi-chip serving path replacing the reference's per-frame feed_dict loop.
+    """
 
     def __init__(self, params, batch_stats=None, *, height: int = 224, width: int = 224,
                  variant: Optional[DispNetVariant] = None, batch_size: int = 32,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, num_devices: int = 1):
         self.height, self.width, self.batch_size = height, width, batch_size
         self.model = DispNet(variant or DispNetVariant.depth4(), dtype=dtype)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        self._fwd = jax.jit(
-            lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
-        )
+
+        fwd = lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
+        if num_devices > 1:
+            from tf_depth_estimation_tpu.parallel import batch_sharding, make_mesh
+
+            if batch_size % num_devices != 0:
+                raise ValueError("batch_size must divide evenly across devices")
+            mesh = make_mesh(num_devices)
+            sh = batch_sharding(mesh)
+            self._fwd = jax.jit(fwd, in_shardings=sh, out_shardings=sh)
+        else:
+            self._fwd = jax.jit(fwd)
 
     def predict_array(self, frames: np.ndarray) -> np.ndarray:
         """[N, H, W, 3] float32 -> [N, H, W] disparity; pads N up to the batch size."""

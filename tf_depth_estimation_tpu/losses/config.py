@@ -104,6 +104,12 @@ class LossWeights:
                    depth_weight=500.0)
 
     @classmethod
+    def sfm_multi(cls) -> "LossWeights":
+        """``train.py:32-35`` — SfMLearner-style multi-source, 224x224, batch 30."""
+        return cls(height=224, width=224, max_steps=20_000,
+                   smooth_weight=0.5, data_weight=100.0)
+
+    @classmethod
     def optflow3(cls) -> "LossWeights":
         """``train_optflow.py:32-38`` — 3-channel-head depth training, 224x224."""
         return cls(height=224, width=224, max_steps=20_000,

@@ -572,6 +572,36 @@ def optflow3_loss(image_left, image_right, pred_depths, label, tgt2src_proj, int
                    "pixel": pixel_loss}
 
 
+def multi_source_loss(tgt_image, src_images, pred_disps, label, tgt2src_projs,
+                      intrinsics, w: LossWeights):
+    """SfMLearner-style multi-source training (ref ``train.py:95-165``): smoothness +
+    (unweighted) L1 of the 3-channel prediction against the broadcast label; per-source
+    GT-projection photometric errors are computed ×data_weight/2^s but — faithful quirk —
+    the reference's total is smooth + depth only (``train.py:160``).
+
+    ``src_images``: list of [B, H, W, 3] source views; ``tgt2src_projs``: [B, S, 4, 4].
+    """
+    smooth_loss = 0.0
+    depth_loss = 0.0
+    pixel_loss = 0.0
+    for s in range(w.num_scales):
+        hw = w.scale_hw(s)
+        smooth_loss += w.smooth_weight / 2**s * second_order_smoothness(pred_disps[s])
+        curr_label = resize_area(label, hw)
+        curr_tgt = resize_area(tgt_image, hw)
+        depth_loss += jnp.mean(jnp.abs(curr_label - pred_disps[s]))
+        for i, src in enumerate(src_images):
+            curr_src = resize_area(src, hw)
+            warp = projective_inverse_warp(
+                curr_src, 1.0 / pred_disps[s][..., 0], tgt2src_projs[:, i],
+                intrinsics[:, s], fmt="matrix",
+            )
+            pixel_loss += jnp.mean(jnp.abs(warp.image - curr_tgt)) * w.data_weight / 2**s
+    total = smooth_loss + depth_loss
+    return total, {"total": total, "smooth": smooth_loss, "depth": depth_loss,
+                   "pixel": pixel_loss}
+
+
 def on_demon_loss(pred_depths, label, w: LossWeights, scale_offset: int = 0,
                   smooth_only: bool = True):
     """DeMoN-stream depth training (ref ``train_depth_only_onDemon.py:138-178``,

@@ -4,6 +4,7 @@
 ``--mode optflow_only`` -> ref ``train_optflow_only.py`` (flow-only training)
 ``--mode optflow3``     -> ref ``train_optflow.py``      (3-channel-head depth L1)
 ``--mode pre``          -> ref ``train_pre.py``          (plain L1 + smooth)
+``--mode sfm``          -> ref ``train.py``              (SfMLearner multi-source)
 """
 from __future__ import annotations
 
@@ -20,6 +21,7 @@ from tf_depth_estimation_tpu.train.state import create_train_state
 from tf_depth_estimation_tpu.train.steps import (
     jit_step,
     make_depth_only_step,
+    make_sfm_multi_step,
     make_only_image_step,
     make_optflow3_step,
     make_optflow_only_step,
@@ -31,6 +33,7 @@ _MODES = {
     "optflow_only": (LossWeights.optflow_only, DispNetVariant.sfm, 3, make_optflow_only_step),
     "optflow3": (LossWeights.optflow3, DispNetVariant.sfm, 6, make_optflow3_step),
     "pre": (LossWeights.depth_only, DispNetVariant.depth4, 3, make_depth_only_step),
+    "sfm": (LossWeights.sfm_multi, DispNetVariant.sfm, 3, make_sfm_multi_step),
 }
 
 

@@ -18,25 +18,48 @@ import jax.numpy as jnp
 
 
 class MetricLogger:
-    """JSONL metric stream + stdout, stand-in for the reference's TB summaries."""
+    """JSONL metric stream + stdout, optionally mirrored to TensorBoard.
 
-    def __init__(self, directory: str, quiet: bool = False):
+    Stand-in for the reference's ``tf.summary`` scalars (``split_training.py:275-282``);
+    pass ``tensorboard=True`` to also emit TB event files under ``<dir>/sum`` (the
+    reference's writer path, ``train_depth_then_cam.py:319``).
+    """
+
+    def __init__(self, directory: str, quiet: bool = False, tensorboard: bool = False):
         os.makedirs(directory, exist_ok=True)
         self.path = os.path.join(directory, "metrics.jsonl")
         self._f = open(self.path, "a")
         self.quiet = quiet
+        self._tb = None
+        if tensorboard:
+            try:
+                import tensorflow as tf  # optional heavy dep, only on request
+
+                self._tb = tf.summary.create_file_writer(os.path.join(directory, "sum"))
+            except Exception as e:  # pragma: no cover
+                print(f"tensorboard writer unavailable: {e}")
 
     def log(self, step: int, scope: str, values: dict):
         rec = {"step": int(step), "scope": scope}
         rec.update({k: float(v) for k, v in values.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in rec.items():
+                    if k not in ("step", "scope"):
+                        tf.summary.scalar(f"{scope}/{k}", v, step=int(step))
+                self._tb.flush()
         if not self.quiet:
             flat = " ".join(f"{k}={v:.5g}" for k, v in rec.items() if k not in ("step", "scope"))
             print(f"[{scope}] step {step}: {flat}")
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 def run_training(
@@ -52,23 +75,31 @@ def run_training(
     validation_check: int = 0,
     val_fn: Optional[Callable] = None,
     summary_freq: int = 100,
+    profile_dir: Optional[str] = None,
+    profile_steps: tuple = (10, 15),
 ):
     """Drive ``train_step`` over ``batches`` until ``max_steps``.
 
     Returns the final state.  Loss schedules read the step counter carried in the
-    train state (``state.step``).
+    train state (``state.step``).  ``profile_dir`` captures a ``jax.profiler`` trace of
+    steps [profile_steps) — the tracing capability the reference lacks (SURVEY §5).
     """
     start = int(state.step)
     t0 = time.time()
     frames = 0
     last_metrics = None
     for step in range(start, max_steps):
+        if profile_dir and step == profile_steps[0]:
+            jax.profiler.start_trace(profile_dir)
         try:
             batch = next(batches)
         except StopIteration:
             break
         state, metrics = train_step(state, batch)
         frames += next(iter(batch.values())).shape[0]
+        if profile_dir and step + 1 == profile_steps[1]:
+            jax.block_until_ready(metrics)
+            jax.profiler.stop_trace()
 
         if summary_freq and (step + 1) % summary_freq == 0:
             metrics = {k: float(v) for k, v in metrics.items()}  # forces readback/sync

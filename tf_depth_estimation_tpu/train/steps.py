@@ -22,6 +22,7 @@ from tf_depth_estimation_tpu.losses.pipelines import (
     dim11_joint_loss,
     lr_full_loss,
     lr_gt_pose_loss,
+    multi_source_loss,
     on_demon_loss,
     only_image_loss,
     optflow3_loss,
@@ -250,6 +251,21 @@ def make_optflow_only_step(w: LossWeights):
         total, comps = optflow_only_loss(
             batch["tgt_image"], batch["src_image"], fx, fy, batch["label"],
             batch["tgt2src_projs"][:, 0], batch["intrinsics"], w,
+        )
+        return total, (comps, new_stats)
+
+    return _make_step(loss_of_params)
+
+
+def make_sfm_multi_step(w: LossWeights):
+    """``train.py``: 3-channel disp net on the target image; SfMLearner-style loss with
+    per-source GT-projection warps."""
+
+    def loss_of_params(state, batch, params):
+        preds, new_stats = _forward(state, params, batch["tgt_image"], train=True)
+        total, comps = multi_source_loss(
+            batch["tgt_image"], [batch["src_image"]], preds, batch["label"],
+            batch["tgt2src_projs"], batch["intrinsics"], w,
         )
         return total, (comps, new_stats)
 
