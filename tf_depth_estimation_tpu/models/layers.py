@@ -14,7 +14,42 @@ from __future__ import annotations
 from typing import Callable, Optional, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class TFConvTranspose(nn.Module):
+    """Transposed conv with exact ``tf.nn.conv2d_transpose`` SAME semantics.
+
+    flax's ``nn.ConvTranspose`` (fractionally-strided conv, unflipped kernel) places taps
+    differently from TF's gradient-of-conv definition — verified numerically in
+    ``tests/test_tf_parity.py``.  ``lax.conv_transpose(transpose_kernel=True)`` with the
+    TF weight layout ``[k, k, out, in]`` reproduces slim.conv2d_transpose exactly
+    (including slim's xavier fan computation on that same variable shape).
+    """
+
+    features: int
+    kernel: Sequence[int]
+    stride: int = 2
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.glorot_uniform(),
+            (*self.kernel, self.features, in_ch), jnp.float32,
+        )
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            (self.stride, self.stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True,
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class SlimConv(nn.Module):
@@ -31,18 +66,22 @@ class SlimConv(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        conv_cls = nn.ConvTranspose if self.transpose else nn.Conv
-        kwargs = dict(
-            features=self.features,
-            kernel_size=tuple(self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            use_bias=not self.use_bn,
-            kernel_init=nn.initializers.glorot_uniform(),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )
-        x = conv_cls(**kwargs)(x)
+        if self.transpose:
+            x = TFConvTranspose(
+                features=self.features, kernel=tuple(self.kernel), stride=self.stride,
+                use_bias=not self.use_bn, dtype=self.dtype,
+            )(x)
+        else:
+            x = nn.Conv(
+                features=self.features,
+                kernel_size=tuple(self.kernel),
+                strides=(self.stride, self.stride),
+                padding="SAME",
+                use_bias=not self.use_bn,
+                kernel_init=nn.initializers.glorot_uniform(),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+            )(x)
         if self.use_bn:
             x = nn.BatchNorm(
                 use_running_average=not train,
