@@ -178,3 +178,25 @@ def test_run_training_loop(tmp_path):
     assert mgr.latest_step() == 6
     assert os.path.exists(logger.path)
     mgr.close()
+
+
+def test_remat_step_matches_plain():
+    """jax.checkpoint remat must not change the numerics, only the memory profile."""
+    w = _weights(smooth_weight=0.0)
+    model = DispNet(DispNetVariant.depth4())
+    batch = {
+        "tgt_image": jnp.array(np.random.RandomState(3).rand(2, H, W, 3), jnp.float32),
+        "label": jnp.array(np.random.RandomState(4).uniform(1.0, 2.0, (2, H, W, 1)),
+                           jnp.float32),
+    }
+    s1 = create_train_state(model, batch["tgt_image"], learning_rate=1e-3)
+    s2 = create_train_state(model, batch["tgt_image"], learning_rate=1e-3)
+    step1 = jit_step(make_depth_only_step(w), donate_state=False)
+    step2 = jit_step(make_depth_only_step(w, remat=True), donate_state=False)
+    s1, m1 = step1(s1, batch)
+    s2, m2 = step2(s2, batch)
+    np.testing.assert_allclose(float(m1["total"]), float(m2["total"]), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(s1.params)
+    b = jax.tree_util.tree_leaves(s2.params)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.array(x), np.array(y), atol=1e-6)

@@ -46,12 +46,20 @@ def _forward(state, params, inputs, train: bool, extra=()):
     return outs, state.batch_stats
 
 
-def _make_step(loss_of_params):
-    """Common glue: value_and_grad over params, apply updates, return metrics."""
+def _make_step(loss_of_params, remat: bool = False):
+    """Common glue: value_and_grad over params, apply updates, return metrics.
+
+    ``remat`` wraps the loss in ``jax.checkpoint`` — the backward pass recomputes the
+    forward instead of keeping all activations in HBM, trading ~1/3 more FLOPs for the
+    memory headroom needed by large batches / high resolutions on a single chip.
+    """
 
     def step(state, *args):
+        fn = functools.partial(loss_of_params, state, *args)
+        if remat:
+            fn = jax.checkpoint(fn)
         (total, (metrics, new_stats)), grads = jax.value_and_grad(
-            functools.partial(loss_of_params, state, *args), has_aux=True
+            fn, has_aux=True
         )(state.params)
         new_state = state.apply_gradients(grads, new_stats)
         return new_state, metrics
@@ -59,7 +67,7 @@ def _make_step(loss_of_params):
     return step
 
 
-def make_depth_only_step(w: LossWeights):
+def make_depth_only_step(w: LossWeights, *, remat: bool = False):
     """BASELINE config 2 (``train_depth_only.py``): disp_net on the left image, L1+smooth."""
 
     def loss_of_params(state, batch, params):
@@ -67,7 +75,7 @@ def make_depth_only_step(w: LossWeights):
         total, comps = depth_only_loss(preds, batch["label"], w)
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
 def make_depth_only_val_step(w: LossWeights):
@@ -79,7 +87,7 @@ def make_depth_only_val_step(w: LossWeights):
     return val_step
 
 
-def make_single_depth_step(w: LossWeights):
+def make_single_depth_step(w: LossWeights, *, remat: bool = False):
     """split_training phase 2 (``split_training.py:110-147``): single disp_net over
     [upsampled pair-depth ‖ image]; ``compute_loss_single_depth``.  The sig-weight ramp
     reads the step counter carried in the train state."""
@@ -89,10 +97,10 @@ def make_single_depth_step(w: LossWeights):
         total, comps = single_depth_loss(preds, batch["label"], state.step, w)
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_pairwise_step(w: LossWeights, full_scales: bool = False):
+def make_pairwise_step(w: LossWeights, full_scales: bool = False, *, remat: bool = False):
     """split_training phase 1 (``split_training.py:209-417``): DepthPoseNet forward on
     (L‖R) and (R‖L), ``compute_loss_pairwise_depth``."""
 
@@ -118,10 +126,10 @@ def make_pairwise_step(w: LossWeights, full_scales: bool = False):
         )
         return total, (comps, stats2)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_depth_then_cam_step(w: LossWeights):
+def make_depth_then_cam_step(w: LossWeights, *, remat: bool = False):
     """BASELINE config 3 (``train_depth_then_cam.py``): DepthPoseNet(full-res) on the
     pair; exp-weighted photometric with predicted pose."""
 
@@ -134,10 +142,10 @@ def make_depth_then_cam_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_optflow_combine_step(w: LossWeights):
+def make_optflow_combine_step(w: LossWeights, *, remat: bool = False):
     """BASELINE config 4 (``train_optflow_combine.py``): 8-output DispNet (depth + flow
     decoders) on the left image; joint depth/flow/photometric losses."""
 
@@ -153,10 +161,10 @@ def make_optflow_combine_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_on_demon_step(w: LossWeights, smooth_only: bool = True):
+def make_on_demon_step(w: LossWeights, smooth_only: bool = True, *, remat: bool = False):
     """BASELINE config 5 (``train_depth_only_onDemon.py``): DepthPoseNet (truncated) on
     the DeMoN pair; smoothness(+depth) on the inverse-depth predictions."""
 
@@ -168,10 +176,10 @@ def make_on_demon_step(w: LossWeights, smooth_only: bool = True):
                                      smooth_only=smooth_only)
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_lr_full_step(w: LossWeights):
+def make_lr_full_step(w: LossWeights, *, remat: bool = False):
     """``train_depth_then_cam_lr.py``: LRNet (single disp net on each view + pair net in
     both orders) under the full symmetric loss.  Batch: DeMoN dict."""
 
@@ -188,10 +196,10 @@ def make_lr_full_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_lr_gt_step(w: LossWeights):
+def make_lr_gt_step(w: LossWeights, *, remat: bool = False):
     """``train_depth_then_cam_lr_gtdepth_gtcam.py``: pair nets both directions under the
     GT-pose symmetric loss."""
 
@@ -207,10 +215,10 @@ def make_lr_gt_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_dim11_step(w: LossWeights):
+def make_dim11_step(w: LossWeights, *, remat: bool = False):
     """``train_depth_only_dim11.py``: DepthPoseNet (full-res) on the colon pair with the
     joint depth+pose loss."""
 
@@ -223,10 +231,10 @@ def make_dim11_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_only_image_step(w: LossWeights):
+def make_only_image_step(w: LossWeights, *, remat: bool = False):
     """``train_onlyimage.py``: disp net on the stacked pair; GT-proj photometric only."""
 
     def loss_of_params(state, batch, params):
@@ -238,10 +246,10 @@ def make_only_image_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_optflow_only_step(w: LossWeights):
+def make_optflow_only_step(w: LossWeights, *, remat: bool = False):
     """``train_optflow_only.py``: 3-channel disp net; channels 0/1 are flow x/y."""
 
     def loss_of_params(state, batch, params):
@@ -254,10 +262,10 @@ def make_optflow_only_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_sfm_multi_step(w: LossWeights):
+def make_sfm_multi_step(w: LossWeights, *, remat: bool = False):
     """``train.py``: 3-channel disp net on the target image; SfMLearner-style loss with
     per-source GT-projection warps."""
 
@@ -269,10 +277,10 @@ def make_sfm_multi_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
-def make_optflow3_step(w: LossWeights):
+def make_optflow3_step(w: LossWeights, *, remat: bool = False):
     """``train_optflow.py``: 3-channel disp net on the stacked pair; broadcast L1."""
 
     def loss_of_params(state, batch, params):
@@ -284,7 +292,7 @@ def make_optflow3_step(w: LossWeights):
         )
         return total, (comps, new_stats)
 
-    return _make_step(loss_of_params)
+    return _make_step(loss_of_params, remat=remat)
 
 
 def jit_step(step_fn, donate_state: bool = True):
