@@ -6,8 +6,10 @@ The reference's layers are ``slim.conv2d`` / ``slim.conv2d_transpose`` under an 
 xavier/glorot-uniform weight init, no conv bias when batch-norm follows.
 
 TPU-first notes: NHWC layout (XLA:TPU native), parameters float32 with an optional
-bfloat16 compute dtype for MXU throughput; convs are ``nn.Conv``/``nn.ConvTranspose``
-which lower to ``lax.conv_general_dilated`` on the MXU.
+bfloat16 compute dtype for MXU throughput; convs are ``nn.Conv`` (lax.conv_general_dilated
+on the MXU) and ``TFConvTranspose`` — a custom transposed conv with exact
+``tf.nn.conv2d_transpose`` SAME semantics (flax's ``nn.ConvTranspose`` places taps
+differently; see that class's docstring and ``tests/test_tf_parity.py``).
 """
 from __future__ import annotations
 

@@ -9,7 +9,6 @@ import jax
 import jax.numpy as jnp
 
 from tf_depth_estimation_tpu.data import BatchLoader, DemonDataset, DemonReaderParams, device_prefetch
-from tf_depth_estimation_tpu.data.demon import DemonReaderParams  # noqa: F811
 from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
 from tf_depth_estimation_tpu.train.loop import MetricLogger, load_into_state
 
