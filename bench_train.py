@@ -1,0 +1,94 @@
+"""Training-throughput benchmark (the BASELINE metric set's 'train steps/sec').
+
+Measures the jitted train step of BASELINE config 2 (depth_only: DispNet @240x720,
+batch 10 — the reference's own operating point, ``train_depth_only.py:21-25``) and of the
+pairwise DeMoN config (DepthPoseNet @192x256, batch 16) on synthetic device-resident
+batches — pure step time, no input pipeline.
+
+Prints ONE JSON line per config on stdout.  (The driver's headline metric stays
+``bench.py``'s inference number.)
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def _measure(step, state, batch, n=10, trials=3):
+    state, m = step(state, batch)          # compile
+    _ = float(m["total"])
+    best = float("inf")
+    for _t in range(trials):
+        t0 = time.time()
+        for _ in range(n):
+            state, m = step(state, batch)
+        _ = float(m["total"])              # host readback forces completion
+        best = min(best, (time.time() - t0) / n)
+    return best
+
+
+def main():
+    from tf_depth_estimation_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.geometry import (
+        make_intrinsics_matrix,
+        scale_intrinsics_pyramid,
+    )
+    from tf_depth_estimation_tpu.losses import LossWeights
+    from tf_depth_estimation_tpu.models import DepthPoseNet, DispNet, DispNetVariant
+    from tf_depth_estimation_tpu.train.state import create_train_state
+    from tf_depth_estimation_tpu.train.steps import (
+        jit_step,
+        make_depth_only_step,
+        make_pairwise_step,
+    )
+
+    rng = np.random.RandomState(0)
+    results = []
+
+    # config 2: depth_only @240x720 b10
+    H, W, B = 240, 720, 10
+    w = LossWeights.depth_only()
+    batch = {
+        "tgt_image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "label": jnp.asarray(rng.uniform(0.5, 2.5, (B, H, W, 1)).astype(np.float32)),
+    }
+    model = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["tgt_image"])
+    dt = _measure(jit_step(make_depth_only_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_depth_only_240x720_b10",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    # pairwise split_training phase 1 @192x256 b16
+    H, W, B = 192, 256, 16
+    w = LossWeights.split_training()
+    K = make_intrinsics_matrix(jnp.full((B,), 200.0), jnp.full((B,), 200.0),
+                               jnp.full((B,), W / 2), jnp.full((B,), H / 2))
+    batch = {
+        "image_pair": jnp.asarray(rng.rand(B, H, W, 6).astype(np.float32) - 0.5),
+        "depth0": jnp.asarray(rng.uniform(0.5, 2, (B, H, W, 1)).astype(np.float32)),
+        "depth2": jnp.asarray(rng.uniform(0.5, 2, (B, H // 4, W // 4, 1)).astype(np.float32)),
+        "rotation": jnp.asarray((rng.randn(B, 3) * 0.05).astype(np.float32)),
+        "translation": jnp.asarray((rng.randn(B, 3) * 0.1).astype(np.float32)),
+        "intrinsics": jnp.asarray(np.asarray(scale_intrinsics_pyramid(K, 4))),
+    }
+    model = DepthPoseNet(full_resolution=False, dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["image_pair"])
+    dt = _measure(jit_step(make_pairwise_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_pairwise_192x256_b16",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    for r in results:
+        print(json.dumps(r))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,3 +16,7 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")  # quiet the TF oracle used i
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+from tf_depth_estimation_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
