@@ -40,7 +40,7 @@ def main():
 
     best = 0.0
     best_batch = 0
-    for B in (64,):  # best throughput/compile-time point measured on v5e
+    for B in (64, 128):  # 128 measured ~1.7x the b64 throughput on v5e
         x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
         s = float(fwd_sum(x))  # compile + warm
         assert np.isfinite(s)
