@@ -101,7 +101,11 @@ def native_sample_stream(
 
 class NativePairSampler:
     """Drop-in accelerator for ``PairDepthDataset``: decodes the packed-pair JPEG +
-    depth natively, pulls the text fields from the dataset."""
+    depth natively, pulls the text fields from the dataset.
+
+    NOTE: with ``num_threads > 1`` samples arrive in completion order, not index order
+    (exactly like the reference's TF queue runners) — every sample is yielded exactly
+    once, but ordering is only deterministic with a single worker."""
 
     def __init__(self, dataset, num_threads: int = 4, seed: int = 0,
                  shuffle: bool = True):
