@@ -15,7 +15,7 @@ from tf_depth_estimation_tpu.data.colon import (
     Dim11Dataset,
 )
 from tf_depth_estimation_tpu.data.demon import DemonDataset, DemonReaderParams
-from tf_depth_estimation_tpu.data.pipeline import BatchLoader, device_prefetch
+from tf_depth_estimation_tpu.data.pipeline import BatchLoader, IterBatcher, StreamLoader, device_prefetch
 
 __all__ = [
     "SimpleDepthDataset",
@@ -24,5 +24,7 @@ __all__ = [
     "DemonDataset",
     "DemonReaderParams",
     "BatchLoader",
+    "IterBatcher",
+    "StreamLoader",
     "device_prefetch",
 ]

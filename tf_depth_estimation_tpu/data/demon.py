@@ -25,6 +25,7 @@ the classic layout is a straightforward host-side script.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import List, Sequence, Tuple
 
 import numpy as np
@@ -102,6 +103,9 @@ class DemonDataset:
                                                       max(1, len(self._keys))),
                             p=self._probs)
         )
+        # pool draws mutate shared state; StreamLoader workers call sample()
+        # concurrently (single-writer-per-slot via this lock)
+        self._pool_lock = threading.Lock()
 
     def __len__(self):
         return len(self._keys)
@@ -200,11 +204,21 @@ class DemonDataset:
             pair, depth, motion, intr = self._augment(pair, depth, motion, intr, rng)
         return self._preprocess(pair, depth, motion, intr)
 
+    def source_of(self, index: int) -> int:
+        """Source-file ordinal a flat sample index belongs to (tests/diagnostics)."""
+        return self._keys[index][0]
+
     def sample(self, rng: np.random.RandomState):
-        """Scene-pool draw (pool refilled from the weighted source stream)."""
-        slot = rng.randint(len(self._pool))
-        index = self._pool[slot]
-        self._pool[slot] = int(rng.choice(len(self._keys), p=self._probs))
+        """Scene-pool draw (pool refilled from the weighted source stream).
+
+        Thread-safe: the pool swap is locked so ``StreamLoader`` workers can draw
+        concurrently, mirroring the reference reader's N builder threads sharing one
+        scene pool (``Demon_Data_loader.py:65``).
+        """
+        with self._pool_lock:
+            slot = rng.randint(len(self._pool))
+            index = self._pool[slot]
+            self._pool[slot] = int(rng.choice(len(self._keys), p=self._probs))
         pair, depth, motion, intr = self._load(index)
         if not self.params.test_phase:
             pair, depth, motion, intr = self._augment(pair, depth, motion, intr, rng)

@@ -117,6 +117,108 @@ class BatchLoader:
                     break
 
 
+class IterBatcher:
+    """Batches a restartable sample-dict stream (e.g. the native C++ loader).
+
+    ``factory()`` must return a fresh sample iterator; each exhaustion is one epoch
+    (the native sampler reshuffles per iteration like the reference's shuffling queue).
+    Remainders are dropped (``tf.train.batch`` semantics); no extra worker threads —
+    sources like ``NativePairSampler`` pipeline internally.
+    """
+
+    def __init__(self, factory: Callable[[], Iterator[dict]], batch_size: int,
+                 num_epochs: Optional[int] = None):
+        self.factory = factory
+        self.batch_size = batch_size
+        self.num_epochs = num_epochs
+
+    def __iter__(self) -> Iterator[dict]:
+        epoch = 0
+        while self.num_epochs is None or epoch < self.num_epochs:
+            buf = []
+            for s in self.factory():
+                buf.append(s)
+                if len(buf) == self.batch_size:
+                    yield {k: np.stack([x[k] for x in buf], 0) for k in buf[0]}
+                    buf = []
+            epoch += 1
+
+
+class StreamLoader:
+    """Sampler-driven infinite batch stream (scene pool + weighted sources).
+
+    Production analog of the reference C++ reader's draw loop
+    (``Demon_Data_loader.py:52-74``): instead of iterating a shuffled epoch, each worker
+    thread draws samples via ``dataset.sample(rng)`` — which for ``DemonDataset`` is a
+    weighted multi-source draw through a shared scene pool.  This is the loader behind
+    every DeMoN training CLI; ``BatchLoader`` remains the epoch-ordered path for the
+    eval/test harnesses.
+
+    Each worker owns an independent ``RandomState`` (seed x host x worker), so batches
+    are deterministic given (seed, worker schedule) and hosts draw decorrelated streams
+    (multi-host input sharding happens by seed, not index slicing — matching the
+    reference reader, where every host's reader owns its own sampling stream).
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        seed: int = 0,
+        num_workers: int = 2,
+        queue_depth: int = 4,
+        host_index: int = 0,
+    ):
+        if not hasattr(dataset, "sample"):
+            raise TypeError("StreamLoader needs a dataset with .sample(rng)")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.num_workers = num_workers
+        self.queue_depth = queue_depth
+        self.host_index = host_index
+
+    def _collate(self, samples: Sequence[dict]) -> dict:
+        return {k: np.stack([s[k] for s in samples], axis=0) for k in samples[0]}
+
+    def __iter__(self) -> Iterator[dict]:
+        out_q: queue.Queue = queue.Queue(maxsize=self.queue_depth)
+        stop = threading.Event()
+
+        def producer(worker_id: int):
+            rng = np.random.RandomState(
+                (self.seed * 1000003 + self.host_index * 9973 + worker_id) & 0x7FFFFFFF
+            )
+            while not stop.is_set():
+                samples = []
+                for _ in range(self.batch_size):
+                    if stop.is_set():
+                        return
+                    samples.append(self.dataset.sample(rng))
+                out_q.put(self._collate(samples))
+
+        workers = [
+            threading.Thread(target=producer, args=(w,), daemon=True)
+            for w in range(self.num_workers)
+        ]
+        for t in workers:
+            t.start()
+        try:
+            while True:
+                yield out_q.get()
+        finally:
+            stop.set()
+            # unblock producers stuck on put(), then join so the caller may safely
+            # close the dataset (no draws continue past generator close)
+            while any(t.is_alive() for t in workers):
+                try:
+                    out_q.get_nowait()
+                except queue.Empty:
+                    pass
+                for t in workers:
+                    t.join(timeout=0.01)
+
+
 def device_prefetch(batches: Iterator[dict], size: int = 2, sharding=None) -> Iterator[dict]:
     """Keep ``size`` batches in flight on-device (double buffering by default).
 

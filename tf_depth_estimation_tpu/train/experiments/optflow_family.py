@@ -12,10 +12,10 @@ import dataclasses
 
 import jax.numpy as jnp
 
-from tf_depth_estimation_tpu.data import BatchLoader, PairDepthDataset, device_prefetch
+from tf_depth_estimation_tpu.data import PairDepthDataset
 from tf_depth_estimation_tpu.losses import LossWeights
 from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
-from tf_depth_estimation_tpu.train.experiments.common import base_parser, compute_dtype, setup_run
+from tf_depth_estimation_tpu.train.experiments.common import base_parser, compute_dtype, pair_loader, setup_run
 from tf_depth_estimation_tpu.train.loop import run_training
 from tf_depth_estimation_tpu.train.state import create_train_state
 from tf_depth_estimation_tpu.train.steps import (
@@ -53,8 +53,7 @@ def main(argv=None):
     ds = PairDepthDataset(args.dataset_dir, split="train",
                           image_height=args.image_height, image_width=args.image_width,
                           resized_height=H, resized_width=W)
-    batches = device_prefetch(iter(BatchLoader(ds, args.batch_size, seed=args.seed,
-                                               num_epochs=args.num_epochs)))
+    batches = pair_loader(args, ds, args.batch_size)
     model = DispNet(variant_factory(), dtype=compute_dtype(args))
     state = create_train_state(model, jnp.zeros((args.batch_size, H, W, in_ch)),
                                learning_rate=args.learning_rate, beta1=args.beta1)
