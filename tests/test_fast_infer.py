@@ -1,0 +1,47 @@
+"""Parity: infer/fast.py fast forward == DispNet.apply (eval mode), all mode combos."""
+import itertools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_depth_estimation_tpu.infer.fast import fast_depth_forward
+from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 32, 48, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(7), x, train=False)
+    ref = model.apply(variables, x, train=False)
+    return model, variables, x, ref
+
+
+@pytest.mark.parametrize(
+    "stem,deconv,tail",
+    list(itertools.product(["native", "phase", "overlap"],
+                           ["native", "phase"],
+                           ["native", "phase", "overlap"])),
+)
+def test_fast_forward_matches_apply(setup, stem, deconv, tail):
+    _, variables, x, ref = setup
+    got = fast_depth_forward(
+        variables, x, dtype=jnp.float32, stem=stem, deconv=deconv, tail=tail)
+    assert len(got) == len(ref) == 4
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        # identical math up to reassociation + the folded-BN affine form
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4)
+
+
+def test_fast_forward_bf16_close(setup):
+    """bf16 fast path tracks the bf16 module forward (both round, same graph shape)."""
+    model = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+    _, variables, x, _ = setup
+    ref = model.apply(variables, x, train=False)
+    got = fast_depth_forward(variables, x, dtype=jnp.bfloat16)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=0.05, atol=0.05)

@@ -1,0 +1,220 @@
+"""MXU-scheduled inference forward for DispNet (the production predict path).
+
+``fast_depth_forward`` evaluates the depth4-family DispNet (reference
+``nets_optflow_depth.py:76-147``) from a standard checkpoint tree
+(``DispNet.init/apply`` variables), replacing the MXU-hostile layers with the exact
+phase-space rewrites from ``ops/phase.py``:
+
+  * ``phase_stem``   — cnv1 (7x7/s2 on 3 channels) and cnv1b (7x7/s1 on 32) run
+    phase-packed: contraction dims 48->432 and 128->3200, output dims 128;
+    cnv2 consumes the packed tensor directly (no repack).
+  * ``phase_deconv`` — every upcnvN becomes a dense 2x2 conv + depth-to-space
+    (16/18 of the nominal deconv FLOPs, no input-dilation lowering).
+  * ``fused_tail``   — upcnv1/icnv1/disp1 and the d2 bilinear feedback all run at half
+    resolution on phase-packed tensors; no full-resolution activation exists until the
+    final depth-to-space of disp1's 4 output phases.
+
+Batch-norm is folded to its eval-mode affine (slim ``scale=False``: y = x*rsqrt(var+eps)
++ (bias - mean*rsqrt(var+eps))).  All rewrites are bit-exact up to float reassociation —
+locked against ``DispNet.apply`` by ``tests/test_fast_infer.py``.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+
+from tf_depth_estimation_tpu.ops.phase import (
+    bilinear_up2_phase,
+    conv_s1_overlapped,
+    conv_s1_phase,
+    conv_s2_from_phase,
+    deconv3x3_s2_phase,
+    depth_to_space,
+    stem_conv_s2_phase,
+)
+from tf_depth_estimation_tpu.ops.resize import resize_bilinear, resize_like
+
+_ENC = ((32, 7), (64, 5), (128, 3), (256, 3), (512, 3), (512, 3), (512, 3))
+
+
+def _affine(params, stats, name):
+    """Eval-mode slim batch_norm (center-only) as (scale, shift) float32 vectors."""
+    var = stats[name]["BatchNorm_0"]["var"]
+    mean = stats[name]["BatchNorm_0"]["mean"]
+    bias = params[name]["BatchNorm_0"]["bias"]
+    s = jax.lax.rsqrt(var + 1e-3)
+    return s, bias - mean * s
+
+
+def _tile4(v):
+    return jnp.tile(v, 4)  # phase-packed channels are (p, q, c) — c fastest
+
+
+def fast_depth_forward(
+    variables: Dict[str, Any],
+    image: jnp.ndarray,
+    *,
+    dtype=jnp.bfloat16,
+    stem: str = "overlap",
+    deconv: str = "native",
+    tail: str = "overlap",
+    disp_scaling: float = 4.0,
+    min_disp: float = 0.0,
+) -> List[jnp.ndarray]:
+    """Eval-mode DispNet forward; returns [d1, d2, d3, d4] (float32).
+
+    ``image``: [B, H, W, C] with H, W divisible by 4 (the reference operating points —
+    576x384 / 256x192 — all qualify).  Matches ``DispNet(variant, dtype).apply(...,
+    train=False)`` for BN variants (depth4 / sfm-style single decoder).
+    """
+    assert stem in ("native", "phase", "overlap"), stem
+    assert deconv in ("native", "phase"), deconv
+    assert tail in ("native", "phase", "overlap"), tail
+    deconv_mode, tail_mode = deconv, tail
+    enc_p = variables["params"]["encoder"]
+    enc_s = variables["batch_stats"]["encoder"]
+    dec_p = variables["params"]["decoder"]
+    dec_s = variables["batch_stats"]["decoder"]
+    H, W = image.shape[1:3]
+    dt = dtype
+
+    def cw(tree, name):  # conv kernel, compute dtype
+        return tree[name]["Conv_0"]["kernel"].astype(dt)
+
+    def dw(name):  # deconv kernel (TF transpose layout)
+        return dec_p[name]["TFConvTranspose_0"]["kernel"].astype(dt)
+
+    def aff(x, params, stats, name, tiled=False):
+        s, t = _affine(params, stats, name)
+        if tiled:
+            s, t = _tile4(s), _tile4(t)
+        return jax.nn.relu(x * s.astype(dt) + t.astype(dt))
+
+    def conv(x, w, stride=1):
+        return jax.lax.conv_general_dilated(
+            x, w, (stride, stride), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+    def enc_block(x, i, stride2_fn, stride1_fn):
+        x = stride2_fn(x)
+        x = aff(x, enc_p, enc_s, f"cnv{i}")
+        x = stride1_fn(x)
+        return aff(x, enc_p, enc_s, f"cnv{i}b")
+
+    x = image.astype(dt)
+    skips = []
+    if stem in ("phase", "overlap"):
+        if stem == "phase":
+            # cnv1 + cnv1b both on aligned phase cells (2.04x FLOPs for cnv1b)
+            c1_ph = stem_conv_s2_phase(x, cw(enc_p, "cnv1"))
+            c1_ph = aff(c1_ph, enc_p, enc_s, "cnv1", tiled=True)
+            c1b_ph = conv_s1_phase(c1_ph, cw(enc_p, "cnv1b"))
+        else:
+            # cnv1 native (direct layout), cnv1b as an overlapped 8x8/s2 conv
+            # (1.31x FLOPs, K=2048/N=128 vs the native K=1568/N=32 lowering)
+            c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
+            c1b_ph = conv_s1_overlapped(c1, cw(enc_p, "cnv1b"))
+        c1b_ph = aff(c1b_ph, enc_p, enc_s, "cnv1b", tiled=True)
+        skips.append(("phase", c1b_ph))
+        x = conv_s2_from_phase(c1b_ph, cw(enc_p, "cnv2"), (H // 2, W // 2))
+        x = aff(x, enc_p, enc_s, "cnv2")
+        x = conv(x, cw(enc_p, "cnv2b"))
+        x = aff(x, enc_p, enc_s, "cnv2b")
+        skips.append(("full", x))
+        start = 3
+    else:
+        start = 1
+    for i in range(start, 8):
+        x = enc_block(
+            x, i,
+            lambda y, i=i: conv(y, cw(enc_p, f"cnv{i}"), 2),
+            lambda y, i=i: conv(y, cw(enc_p, f"cnv{i}b"), 1),
+        )
+        skips.append(("full", x))
+
+    def skip_full(j):  # 0-based encoder level
+        kind, t = skips[j]
+        return depth_to_space(t) if kind == "phase" else t
+
+    def deconv(x, name):
+        if deconv_mode == "phase":
+            y = deconv3x3_s2_phase(x, dw(name), merge=True)
+        else:
+            y = jax.lax.conv_transpose(
+                x, dw(name), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"), transpose_kernel=True)
+        return aff(y, dec_p, dec_s, name)
+
+    def iconv(x, name):
+        return aff(conv(x, cw(dec_p, name)), dec_p, dec_s, name)
+
+    def head(x, name):
+        w = cw(dec_p, name)
+        b = dec_p[name]["Conv_0"]["bias"].astype(dt)
+        y = jax.nn.sigmoid(conv(x, w) + b)
+        return (disp_scaling * y + min_disp).astype(jnp.float32)
+
+    cat = lambda xs: jnp.concatenate(xs, -1)
+
+    x = deconv(skips[6][1], "upcnv7")
+    x = resize_like(x, skips[5][1])
+    x = iconv(cat([x, skips[5][1]]), "icnv7")
+    x = deconv(x, "upcnv6")
+    x = resize_like(x, skips[4][1])
+    x = iconv(cat([x, skips[4][1]]), "icnv6")
+    x = deconv(x, "upcnv5")
+    x = resize_like(x, skips[3][1])
+    x = iconv(cat([x, skips[3][1]]), "icnv5")
+    x = deconv(x, "upcnv4")
+    x = resize_like(x, skips[2][1])
+    x = iconv(cat([x, skips[2][1]]), "icnv4")
+    d4 = head(x, "disp4")
+    d4u = resize_bilinear(d4, (H // 4, W // 4))
+    x = deconv(x, "upcnv3")
+    x = resize_like(x, skips[1][1])
+    x = iconv(cat([x, skips[1][1], d4u.astype(dt)]), "icnv3")
+    d3 = head(x, "disp3")
+    d3u = resize_bilinear(d3, (H // 2, W // 2))
+    x = deconv(x, "upcnv2")
+    c1 = skip_full(0)
+    x = resize_like(x, c1)
+    x2 = iconv(cat([x, c1, d3u.astype(dt)]), "icnv2")
+    d2 = head(x2, "disp2")
+
+    if tail_mode == "native":
+        d2u = resize_bilinear(d2, (H, W))
+        x = deconv(x2, "upcnv1")
+        if x.shape[1:3] != (H, W):
+            x = resize_like(x, d2u)
+        x = iconv(cat([x, d2u.astype(dt)]), "icnv1")
+        d1 = head(x, "disp1")
+        return [d1, d2, d3, d4]
+
+    if tail_mode == "overlap":
+        # upcnv1 native, icnv1 as an overlapped 4x4/s2 conv (packed out, N=64 instead
+        # of the native N=16), disp1 from the packed tensor — the only full-resolution
+        # intermediates are upcnv1's output and the 17-channel concat.
+        d2u = resize_bilinear(d2, (H, W))
+        x = deconv(x2, "upcnv1")
+        if x.shape[1:3] != (H, W):
+            x = resize_like(x, d2u)
+        y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), cw(dec_p, "icnv1"))
+        y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
+        d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
+        d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
+        d1_ph = (disp_scaling * jax.nn.sigmoid(d1_ph) + min_disp).astype(jnp.float32)
+        return [depth_to_space(d1_ph), d2, d3, d4]
+
+    # --- fused phase tail: nothing full-resolution until the last depth-to-space ---
+    up1_ph = deconv3x3_s2_phase(x2, dw("upcnv1"), merge=False)  # [B,H/2,W/2,64]
+    up1_ph = aff(up1_ph, dec_p, dec_s, "upcnv1", tiled=True)
+    d2u_ph = bilinear_up2_phase(d2).astype(dt)                  # [B,H/2,W/2,4]
+    cat_ph = jnp.concatenate([up1_ph, d2u_ph], -1)
+    y_ph = conv_s1_phase(cat_ph, cw(dec_p, "icnv1"), group_sizes=(16, 1))
+    y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
+    d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
+    d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
+    d1_ph = (disp_scaling * jax.nn.sigmoid(d1_ph) + min_disp).astype(jnp.float32)
+    return [depth_to_space(d1_ph), d2, d3, d4]
