@@ -26,6 +26,8 @@ def main():
 
     from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
 
+    from tf_depth_estimation_tpu.infer.fast import fast_depth_forward
+
     H, W = 384, 576
     model = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -35,8 +37,16 @@ def main():
 
     @jax.jit
     def fwd_sum(x):
-        # scalar checksum forces completion when read back on the host
-        return jnp.sum(model.apply(variables, x, train=False)[0].astype(jnp.float32))
+        # the production fast path: exact phase-space/overlapped-conv rewrites of the
+        # module forward (parity locked by tests/test_fast_infer.py); scalar checksum
+        # forces completion when read back on the host
+        return jnp.sum(fast_depth_forward(variables, x)[0])
+
+    # self-check: the fast path must agree with the module forward (bf16 noise only)
+    ref = np.asarray(model.apply(variables, x0, train=False)[0], np.float32)
+    got = np.asarray(fast_depth_forward(variables, x0)[0], np.float32)
+    err = float(np.max(np.abs(got - ref)))
+    assert err < 0.05, f"fast path diverged from module forward: max err {err}"
 
     best = 0.0
     best_batch = 0

@@ -1,9 +1,14 @@
 """Training-throughput benchmark (the BASELINE metric set's 'train steps/sec').
 
-Measures the jitted train step of BASELINE config 2 (depth_only: DispNet @240x720,
-batch 10 — the reference's own operating point, ``train_depth_only.py:21-25``) and of the
-pairwise DeMoN config (DepthPoseNet @192x256, batch 16) on synthetic device-resident
-batches — pure step time, no input pipeline.
+Measures the jitted train step of every BASELINE training config at the reference's own
+operating points on synthetic device-resident batches — pure step time, no input
+pipeline:
+
+  config 2  depth_only        DispNet(depth4)        240x720 b10  (train_depth_only.py:21-25)
+  config 3  depth_then_cam    DepthPoseNet(full-res) 192x256 b16  (train_depth_then_cam.py)
+  config 4  optflow_combine   DispNet(depth10_flow)  224x480 b10  (train_optflow_combine.py)
+  config 5  on_demon          DepthPoseNet(trunc)    192x256 b16  (train_depth_only_onDemon.py)
+  split_training phase 1      DepthPoseNet(trunc)    192x256 b16  (split_training.py:209-417)
 
 Prints ONE JSON line per config on stdout.  (The driver's headline metric stays
 ``bench.py``'s inference number.)
@@ -34,6 +39,8 @@ def main():
     from tf_depth_estimation_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    import dataclasses
+
     import jax.numpy as jnp
 
     from tf_depth_estimation_tpu.geometry import (
@@ -46,11 +53,19 @@ def main():
     from tf_depth_estimation_tpu.train.steps import (
         jit_step,
         make_depth_only_step,
+        make_depth_then_cam_step,
+        make_on_demon_step,
+        make_optflow_combine_step,
         make_pairwise_step,
     )
 
     rng = np.random.RandomState(0)
     results = []
+
+    def intrinsics_pyr(B, H, W):
+        K = make_intrinsics_matrix(jnp.full((B,), 200.0), jnp.full((B,), 200.0),
+                                   jnp.full((B,), W / 2), jnp.full((B,), H / 2))
+        return jnp.asarray(np.asarray(scale_intrinsics_pyramid(K, 4)))
 
     # config 2: depth_only @240x720 b10
     H, W, B = 240, 720, 10
@@ -69,20 +84,55 @@ def main():
     # pairwise split_training phase 1 @192x256 b16
     H, W, B = 192, 256, 16
     w = LossWeights.split_training()
-    K = make_intrinsics_matrix(jnp.full((B,), 200.0), jnp.full((B,), 200.0),
-                               jnp.full((B,), W / 2), jnp.full((B,), H / 2))
     batch = {
         "image_pair": jnp.asarray(rng.rand(B, H, W, 6).astype(np.float32) - 0.5),
         "depth0": jnp.asarray(rng.uniform(0.5, 2, (B, H, W, 1)).astype(np.float32)),
         "depth2": jnp.asarray(rng.uniform(0.5, 2, (B, H // 4, W // 4, 1)).astype(np.float32)),
         "rotation": jnp.asarray((rng.randn(B, 3) * 0.05).astype(np.float32)),
         "translation": jnp.asarray((rng.randn(B, 3) * 0.1).astype(np.float32)),
-        "intrinsics": jnp.asarray(np.asarray(scale_intrinsics_pyramid(K, 4))),
+        "intrinsics": intrinsics_pyr(B, H, W),
     }
     model = DepthPoseNet(full_resolution=False, dtype=jnp.bfloat16)
     state = create_train_state(model, batch["image_pair"])
     dt = _measure(jit_step(make_pairwise_step(w)), state, batch)
     results.append({"metric": "train_steps_per_sec_pairwise_192x256_b16",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    # config 3: depth_then_cam (warp-heavy self-supervised) @192x256 b16
+    w = dataclasses.replace(LossWeights.depth_then_cam(), height=H, width=W)
+    model = DepthPoseNet(full_resolution=True, dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["image_pair"])
+    dt = _measure(jit_step(make_depth_then_cam_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_depth_then_cam_192x256_b16",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    # config 5: on_demon (truncated DepthPoseNet, smooth-only objective) @192x256 b16
+    w = dataclasses.replace(LossWeights.on_demon(), height=H, width=W)
+    model = DepthPoseNet(full_resolution=False, dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["image_pair"])
+    dt = _measure(jit_step(make_on_demon_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_on_demon_192x256_b16",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    # config 4: optflow_combine (8-output net, flow+depth warps) @224x480 b10
+    H, W, B = 224, 480, 10
+    w = dataclasses.replace(LossWeights.optflow_combine(), height=H, width=W)
+    proj = np.tile(np.eye(4, dtype=np.float32), (B, 2, 1, 1))
+    proj[:, :, :3, 3] = rng.randn(B, 2, 3) * 0.05
+    batch = {
+        "tgt_image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "src_image": jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32) * 255),
+        "label": jnp.asarray(rng.uniform(0.5, 2.5, (B, H, W, 1)).astype(np.float32)),
+        "tgt2src_projs": jnp.asarray(proj),
+        "intrinsics": intrinsics_pyr(B, H, W),
+    }
+    model = DispNet(DispNetVariant.depth10_flow(), dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["tgt_image"])
+    dt = _measure(jit_step(make_optflow_combine_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_optflow_combine_224x480_b10",
                     "value": round(1.0 / dt, 3), "unit": "steps/sec",
                     "frames_per_sec": round(B / dt, 1)})
 

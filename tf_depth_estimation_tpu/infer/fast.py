@@ -71,7 +71,7 @@ def fast_depth_forward(
     """
     assert stem in ("native", "phase", "overlap"), stem
     assert deconv in ("native", "phase"), deconv
-    assert tail in ("native", "phase", "overlap"), tail
+    assert tail in ("native", "phase", "overlap", "pallas"), tail
     deconv_mode, tail_mode = deconv, tail
     enc_p = variables["params"]["encoder"]
     enc_s = variables["batch_stats"]["encoder"]
@@ -191,6 +191,20 @@ def fast_depth_forward(
         x = iconv(cat([x, d2u.astype(dt)]), "icnv1")
         d1 = head(x, "disp1")
         return [d1, d2, d3, d4]
+
+    if tail_mode == "pallas":
+        from tf_depth_estimation_tpu.ops.pallas_tail import (
+            fused_tail, prepare_tail_params)
+        tp = prepare_tail_params(
+            dw("upcnv1").astype(jnp.float32),
+            _affine(dec_p, dec_s, "upcnv1"),
+            dec_p["icnv1"]["Conv_0"]["kernel"],
+            _affine(dec_p, dec_s, "icnv1"),
+            dec_p["disp1"]["Conv_0"]["kernel"],
+            dec_p["disp1"]["Conv_0"]["bias"][0],
+            dt)
+        d1_ph = fused_tail(x2, d2, tp, disp_scaling=disp_scaling, min_disp=min_disp)
+        return [depth_to_space(d1_ph), d2, d3, d4]
 
     if tail_mode == "overlap":
         # upcnv1 native, icnv1 as an overlapped 4x4/s2 conv (packed out, N=64 instead

@@ -40,6 +40,17 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=1500)
     p.add_argument("--native_loader", action="store_true",
                    help="decode JPEG/depth through the C++ loader (make -C native)")
+    p.add_argument("--tensorboard", action="store_true",
+                   help="mirror metrics to TB event files under <checkpoint_dir>/sum")
+    p.add_argument("--rich_summaries", action="store_true",
+                   help="per-scale image + histogram summaries and the fixed-fixture "
+                        "smoke inference (ref split_training.py:283-325,380-393); "
+                        "implies --tensorboard")
+    p.add_argument("--image_summary_freq", type=int, default=500)
+    p.add_argument("--fixture_images", default=None,
+                   help="comma-separated two image paths for the smoke-inference "
+                        "fixture (the reference's sculpture pair); default: a "
+                        "deterministic synthetic pair")
     return p
 
 
@@ -107,10 +118,34 @@ def pair_loader(args, ds, batch_size: int, shuffle: bool = True):
     return device_prefetch(iter(loader))
 
 
+def fixture_pair(args, H, W):
+    """[1,H,W,6] float32 smoke-inference pair in DeMoN normalization (/255 - 0.5, ref
+    ``split_training.py:386-388``): ``--fixture_images`` (two paths, the reference's
+    sculpture pair) or a deterministic synthetic texture pair."""
+    import numpy as np
+
+    if getattr(args, "fixture_images", None):
+        from PIL import Image
+
+        paths = args.fixture_images.split(",")
+        imgs = [np.asarray(Image.open(p).resize((W, H), Image.LANCZOS), np.float32)
+                for p in paths[:2]]
+        pair = np.concatenate([im[..., :3] / 255.0 - 0.5 for im in imgs], axis=-1)
+    else:
+        from tf_depth_estimation_tpu.data.synthetic import _texture
+
+        rng = np.random.RandomState(1234)
+        left = _texture(rng, H, W)
+        right = np.roll(left, 3, axis=1)  # small horizontal parallax
+        pair = np.concatenate([left / 255.0 - 0.5, right / 255.0 - 0.5], axis=-1)
+    return pair[np.newaxis].astype(np.float32)
+
+
 def setup_run(args, state, group: str = "model"):
     """Checkpoint manager + logger + optional resume (``--continue_train``)."""
     mgr = CheckpointManager(args.checkpoint_dir)
-    logger = MetricLogger(args.checkpoint_dir)
+    tb = getattr(args, "tensorboard", False) or getattr(args, "rich_summaries", False)
+    logger = MetricLogger(args.checkpoint_dir, tensorboard=tb)
     if args.continue_train and mgr.latest_step() is not None:
         from tf_depth_estimation_tpu.train.loop import _save_tree
 

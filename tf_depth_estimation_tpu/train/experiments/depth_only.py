@@ -64,11 +64,18 @@ def main(argv=None):
         except (FileNotFoundError, StopIteration):
             return None
 
+    summary_fn = None
+    if args.rich_summaries:
+        from tf_depth_estimation_tpu.train.summaries import make_depth_summary_fn
+
+        summary_fn = make_depth_summary_fn(w)
+
     state, last = run_training(
         state=state, train_step=jit_step(make_depth_only_step(w)), batches=batches,
         max_steps=args.max_steps, logger=logger, checkpoint=mgr,
         save_latest_freq=args.save_latest_freq, validation_check=args.validation_check,
         val_fn=val_fn, summary_freq=args.summary_freq,
+        image_summary_fn=summary_fn, image_summary_freq=args.image_summary_freq,
     )
     return state, last
 

@@ -39,10 +39,16 @@ def main(argv=None):
     state = create_train_state(model, jnp.zeros((args.batch_size, H, W, 3)),
                                learning_rate=args.learning_rate, beta1=args.beta1)
     mgr, logger, state = setup_run(args, state)
+    summary_fn = None
+    if args.rich_summaries:
+        from tf_depth_estimation_tpu.train.summaries import make_depth_summary_fn
+
+        summary_fn = make_depth_summary_fn(w)
     state, last = run_training(
         state=state, train_step=jit_step(make_optflow_combine_step(w)), batches=batches,
         max_steps=args.max_steps, logger=logger, checkpoint=mgr,
         save_latest_freq=args.save_latest_freq, summary_freq=args.summary_freq,
+        image_summary_fn=summary_fn, image_summary_freq=args.image_summary_freq,
     )
     return state, last
 

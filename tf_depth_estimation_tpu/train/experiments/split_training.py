@@ -59,11 +59,18 @@ def main(argv=None):
     if args.phase in ("pair", "both"):
         batches = demon_loader(args, H, W)
         mgr, logger, pair_state = setup_run(args, pair_state, group="model_pairdepth")
+        summary_fn = None
+        if args.rich_summaries:
+            from tf_depth_estimation_tpu.train.experiments.common import fixture_pair
+            from tf_depth_estimation_tpu.train.summaries import make_pairwise_summary_fn
+
+            summary_fn = make_pairwise_summary_fn(w, fixture_pair(args, H, W))
         pair_state, _ = run_training(
             state=pair_state, train_step=jit_step(make_pairwise_step(w)), batches=batches,
             max_steps=args.max_steps, logger=logger, checkpoint=mgr,
             checkpoint_group="model_pairdepth", save_latest_freq=args.save_latest_freq,
             summary_freq=args.summary_freq,
+            image_summary_fn=summary_fn, image_summary_freq=args.image_summary_freq,
         )
 
     if args.phase in ("single", "both"):

@@ -56,6 +56,30 @@ class MetricLogger:
             flat = " ".join(f"{k}={v:.5g}" for k, v in rec.items() if k not in ("step", "scope"))
             print(f"[{scope}] step {step}: {flat}")
 
+    def log_images(self, step: int, images: dict):
+        """TB image summaries (uint8 [N,H,W,C]) — the reference's per-scale
+        ``tf.summary.image`` set (``split_training.py:290-325``).  No-op without the
+        TensorBoard writer (JSONL can't carry images)."""
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for name, img in images.items():
+                tf.summary.image(name, img, step=int(step), max_outputs=img.shape[0])
+            self._tb.flush()
+
+    def log_histograms(self, step: int, hists: dict):
+        """TB histogram summaries (``split_training.py:283-303``)."""
+        if self._tb is None:
+            return
+        import tensorflow as tf
+
+        with self._tb.as_default():
+            for name, v in hists.items():
+                tf.summary.histogram(name, v, step=int(step))
+            self._tb.flush()
+
     def close(self):
         self._f.close()
         if self._tb is not None:
@@ -75,6 +99,8 @@ def run_training(
     validation_check: int = 0,
     val_fn: Optional[Callable] = None,
     summary_freq: int = 100,
+    image_summary_fn: Optional[Callable] = None,
+    image_summary_freq: int = 0,
     profile_dir: Optional[str] = None,
     profile_steps: tuple = (10, 15),
 ):
@@ -109,6 +135,12 @@ def run_training(
             metrics["frames_per_sec"] = frames / dt
             logger.log(step + 1, "train", metrics)
             last_metrics = metrics
+
+        if image_summary_fn and image_summary_freq and (
+                step + 1) % image_summary_freq == 0:
+            images, hists = image_summary_fn(state, batch)
+            logger.log_images(step + 1, images)
+            logger.log_histograms(step + 1, hists)
 
         if validation_check and val_fn and (step + 1) % validation_check == 0:
             val = val_fn(state)

@@ -52,6 +52,8 @@ def main():
         "stem": dict(stem="phase", deconv="native", tail="native"),
         "stemov": dict(stem="overlap", deconv="native", tail="native"),
         "best": dict(stem="overlap", deconv="native", tail="overlap"),
+        "pallas": dict(stem="overlap", deconv="native", tail="pallas"),
+        "pallas0": dict(stem="native", deconv="native", tail="pallas"),
     }
     for name in which:
         flags = combos[name]
