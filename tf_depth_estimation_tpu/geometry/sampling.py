@@ -19,18 +19,56 @@ photometric error) lives in ``ops/pallas_warp.py`` for the training hot path.
 """
 from __future__ import annotations
 
+import os
+
+import jax
 import jax.numpy as jnp
 
 
-def bilinear_sample(imgs: jnp.ndarray, coords: jnp.ndarray):
+def _pallas_eligible(imgs, coords) -> bool:
+    """Shapes the Pallas banded-gather kernel (``ops/pallas_sample.py``) can express:
+    TPU backend, same-size warp, lane-aligned width, f32.  The kernel is exact for
+    ALL inputs (in-kernel coverage flag + XLA fallback); this gate is only about
+    expressible shapes."""
+    if os.environ.get("TFDE_NO_PALLAS_SAMPLER"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover
+        return False
+    if backend not in ("tpu", "axon"):
+        return False
+    B, Hs, Ws, C = imgs.shape
+    Ht, Wt = coords.shape[1:3]
+    return (Hs == Ht and Ws == Wt and Ws % 128 == 0 and Hs % 8 == 0
+            and imgs.dtype == jnp.float32 and coords.dtype == jnp.float32)
+
+
+def bilinear_sample(imgs: jnp.ndarray, coords: jnp.ndarray, sampler: str = "xla"):
     """Sample ``imgs`` at ``coords``.
 
     Args:
       imgs: ``[B, Hs, Ws, C]`` source images.
       coords: ``[B, Ht, Wt, 2]`` sampling coordinates, channel order (x, y).
+      sampler: "xla" (default) or "pallas".  The Pallas banded-gather kernel
+        (``ops/pallas_sample.py``) beats the XLA gather lowering ~2.1x in
+        warp-dominated graphs (standalone sampling, refine's inner loop:
+        ``tools/ab_gather.py`` measurements), but loses a few percent inside
+        large fused train-step graphs where XLA amortizes the gathers — so the
+        call site chooses.  "pallas" silently uses the XLA path for shapes the
+        kernel can't express (small pyramid scales, non-128-multiple widths).
     Returns:
       (output ``[B, Ht, Wt, C]``, wmask ``[B, Ht, Wt, 1]``).
     """
+    if sampler == "pallas" and _pallas_eligible(imgs, coords):
+        from tf_depth_estimation_tpu.ops.pallas_sample import bilinear_sample_tpu
+
+        return bilinear_sample_tpu(imgs, coords)
+    return _bilinear_sample_jnp(imgs, coords)
+
+
+def _bilinear_sample_jnp(imgs: jnp.ndarray, coords: jnp.ndarray):
+    """The XLA-gather reference implementation (also the parity oracle)."""
     B, Hs, Ws, C = imgs.shape
     cx = coords[..., 0]
     cy = coords[..., 1]

@@ -36,6 +36,7 @@ def projective_inverse_warp(
     pose: jnp.ndarray,
     intrinsics: jnp.ndarray,
     fmt: str = "euler",
+    sampler: str = "xla",
 ) -> WarpResult:
     """Inverse-warp ``img`` (source view) into the target frame given target depth.
 
@@ -45,6 +46,8 @@ def projective_inverse_warp(
       pose: ``[B, 6]`` (tx ty tz rx ry rz) or ``[B, 4, 4]`` when ``fmt='matrix'``.
       intrinsics: ``[B, 3, 3]``.
       fmt: 'euler' | 'angleaxis' | 'matrix'.
+      sampler: gather backend, see ``geometry.sampling.bilinear_sample`` — pass
+        "pallas" in warp-dominated graphs (refine, standalone evaluation).
 
     Pipeline (ref ``utils_lr.py:222-256``): pose->matrix, unproject target pixels with
     depth, project into source with K4 @ T, bilinear-sample.
@@ -59,7 +62,7 @@ def projective_inverse_warp(
     cam_coords = pixel_to_cam(depth, intrinsics)                 # [B, 4, H, W]
     proj = pad_intrinsics_4x4(intrinsics) @ pose_mat             # [B, 4, 4]
     coords, warped_depth = cam_to_pixel(cam_coords, proj)
-    out, wmask = bilinear_sample(img, coords)
+    out, wmask = bilinear_sample(img, coords, sampler=sampler)
     return WarpResult(out, coords, wmask, warped_depth, pose_mat)
 
 

@@ -54,6 +54,7 @@ def refine_depth(
     num_scales: int = 4,
     seed: int = 0,
     init_params=None,
+    sampler: str = "xla",
 ) -> Tuple[np.ndarray, dict]:
     """Optimize DispNet weights on one pair; returns (refined depth [H, W], history)."""
     H, W = image1.shape[:2]
@@ -87,7 +88,8 @@ def refine_depth(
             curr1 = resize_area(x1, hw)
             curr2 = resize_area(x2, hw)
             depth_s = scale / disps[s][..., 0]
-            warp = projective_inverse_warp(curr2, depth_s, pose, K_scale(s), fmt="matrix")
+            warp = projective_inverse_warp(curr2, depth_s, pose, K_scale(s),
+                                           fmt="matrix", sampler=sampler)
             total += photo_weight / 2**s * jnp.mean(jnp.abs(warp.image - curr1) * warp.mask)
             if gt is not None:
                 curr_gt = resize_area(gt, hw)
