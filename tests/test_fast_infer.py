@@ -22,7 +22,7 @@ def setup():
 
 @pytest.mark.parametrize(
     "stem,deconv,tail",
-    list(itertools.product(["native", "phase", "overlap"],
+    list(itertools.product(["native", "phase", "overlap", "hybrid"],
                            ["native", "phase"],
                            ["native", "phase", "overlap"])),
 )

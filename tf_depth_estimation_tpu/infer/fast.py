@@ -62,6 +62,7 @@ def fast_depth_forward(
     tail: str = "overlap",
     disp_scaling: float = 4.0,
     min_disp: float = 0.0,
+    stop_at: str = "",
 ) -> List[jnp.ndarray]:
     """Eval-mode DispNet forward; returns [d1, d2, d3, d4] (float32).
 
@@ -69,7 +70,7 @@ def fast_depth_forward(
     576x384 / 256x192 — all qualify).  Matches ``DispNet(variant, dtype).apply(...,
     train=False)`` for BN variants (depth4 / sfm-style single decoder).
     """
-    assert stem in ("native", "phase", "overlap"), stem
+    assert stem in ("native", "phase", "overlap", "hybrid"), stem
     assert deconv in ("native", "phase"), deconv
     assert tail in ("native", "phase", "overlap", "pallas"), tail
     deconv_mode, tail_mode = deconv, tail
@@ -105,27 +106,51 @@ def fast_depth_forward(
 
     x = image.astype(dt)
     skips = []
-    if stem in ("phase", "overlap"):
+    if stem in ("phase", "overlap", "hybrid"):
         if stem == "phase":
             # cnv1 + cnv1b both on aligned phase cells (2.04x FLOPs for cnv1b)
             c1_ph = stem_conv_s2_phase(x, cw(enc_p, "cnv1"))
             c1_ph = aff(c1_ph, enc_p, enc_s, "cnv1", tiled=True)
             c1b_ph = conv_s1_phase(c1_ph, cw(enc_p, "cnv1b"))
+        elif stem == "hybrid":
+            # like "overlap", plus cnv2b in overlapped form (below).  A phase-packed
+            # cnv1 was measured at parity with the native conv (5.08 vs 5.02 ms —
+            # XLA re-places the layout cost, profile_fast.py), so cnv1 stays native.
+            c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
+            if stop_at == "cnv1":
+                return [c1]
+            c1b_ph = conv_s1_overlapped(c1, cw(enc_p, "cnv1b"))
         else:
             # cnv1 native (direct layout), cnv1b as an overlapped 8x8/s2 conv
             # (1.31x FLOPs, K=2048/N=128 vs the native K=1568/N=32 lowering)
             c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
+            if stop_at == "cnv1":
+                return [c1]
             c1b_ph = conv_s1_overlapped(c1, cw(enc_p, "cnv1b"))
         c1b_ph = aff(c1b_ph, enc_p, enc_s, "cnv1b", tiled=True)
         skips.append(("phase", c1b_ph))
+        if stop_at == "cnv1b":
+            return [c1b_ph]
         x = conv_s2_from_phase(c1b_ph, cw(enc_p, "cnv2"), (H // 2, W // 2))
         x = aff(x, enc_p, enc_s, "cnv2")
-        x = conv(x, cw(enc_p, "cnv2b"))
-        x = aff(x, enc_p, enc_s, "cnv2b")
+        if stop_at == "cnv2":
+            return [x, c1b_ph]
+        if stem == "hybrid":
+            # cnv2b overlapped (N 64 -> 256 packed: full MXU lanes, 2.9 vs 4.6 ms
+            # measured), unpacked immediately — a packed skip and a from-phase cnv3
+            # were both measured slower (layout-propagation costs downstream)
+            c2b_ph = conv_s1_overlapped(x, cw(enc_p, "cnv2b"))
+            c2b_ph = aff(c2b_ph, enc_p, enc_s, "cnv2b", tiled=True)
+            x = depth_to_space(c2b_ph)
+        else:
+            x = conv(x, cw(enc_p, "cnv2b"))
+            x = aff(x, enc_p, enc_s, "cnv2b")
         skips.append(("full", x))
         start = 3
     else:
         start = 1
+    if stop_at == "stem":        # cumulative-cost probe (tools/profile_fast.py)
+        return [t for _k, t in skips]
     for i in range(start, 8):
         x = enc_block(
             x, i,
@@ -133,6 +158,8 @@ def fast_depth_forward(
             lambda y, i=i: conv(y, cw(enc_p, f"cnv{i}b"), 1),
         )
         skips.append(("full", x))
+    if stop_at == "encoder":
+        return [skips[-1][1]]
 
     def skip_full(j):  # 0-based encoder level
         kind, t = skips[j]
@@ -158,30 +185,34 @@ def fast_depth_forward(
 
     cat = lambda xs: jnp.concatenate(xs, -1)
 
-    x = deconv(skips[6][1], "upcnv7")
-    x = resize_like(x, skips[5][1])
-    x = iconv(cat([x, skips[5][1]]), "icnv7")
+    x = deconv(skip_full(6), "upcnv7")
+    x = resize_like(x, skip_full(5))
+    x = iconv(cat([x, skip_full(5)]), "icnv7")
     x = deconv(x, "upcnv6")
-    x = resize_like(x, skips[4][1])
-    x = iconv(cat([x, skips[4][1]]), "icnv6")
+    x = resize_like(x, skip_full(4))
+    x = iconv(cat([x, skip_full(4)]), "icnv6")
     x = deconv(x, "upcnv5")
-    x = resize_like(x, skips[3][1])
-    x = iconv(cat([x, skips[3][1]]), "icnv5")
+    x = resize_like(x, skip_full(3))
+    x = iconv(cat([x, skip_full(3)]), "icnv5")
     x = deconv(x, "upcnv4")
-    x = resize_like(x, skips[2][1])
-    x = iconv(cat([x, skips[2][1]]), "icnv4")
+    x = resize_like(x, skip_full(2))
+    x = iconv(cat([x, skip_full(2)]), "icnv4")
     d4 = head(x, "disp4")
     d4u = resize_bilinear(d4, (H // 4, W // 4))
     x = deconv(x, "upcnv3")
-    x = resize_like(x, skips[1][1])
-    x = iconv(cat([x, skips[1][1], d4u.astype(dt)]), "icnv3")
+    x = resize_like(x, skip_full(1))
+    x = iconv(cat([x, skip_full(1), d4u.astype(dt)]), "icnv3")
     d3 = head(x, "disp3")
     d3u = resize_bilinear(d3, (H // 2, W // 2))
+    if stop_at == "d3":
+        return [d3, d4]
     x = deconv(x, "upcnv2")
     c1 = skip_full(0)
     x = resize_like(x, c1)
     x2 = iconv(cat([x, c1, d3u.astype(dt)]), "icnv2")
     d2 = head(x2, "disp2")
+    if stop_at == "d2":
+        return [d2, d3, d4]
 
     if tail_mode == "native":
         d2u = resize_bilinear(d2, (H, W))

@@ -54,6 +54,8 @@ def main():
         "best": dict(stem="overlap", deconv="native", tail="overlap"),
         "pallas": dict(stem="overlap", deconv="native", tail="pallas"),
         "pallas0": dict(stem="native", deconv="native", tail="pallas"),
+        "hybrid": dict(stem="hybrid", deconv="native", tail="overlap"),
+        "bestdp": dict(stem="overlap", deconv="phase", tail="overlap"),
     }
     for name in which:
         flags = combos[name]
