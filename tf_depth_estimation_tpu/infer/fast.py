@@ -3,16 +3,18 @@
 ``fast_depth_forward`` evaluates the depth4-family DispNet (reference
 ``nets_optflow_depth.py:76-147``) from a standard checkpoint tree
 (``DispNet.init/apply`` variables), replacing the MXU-hostile layers with the exact
-phase-space rewrites from ``ops/phase.py``:
+phase-space rewrites from ``ops/phase.py``.  The production default (the measured
+whole-graph optimum — ROADMAP round-2 campaign) is ``stem="overlap",
+deconv="native", tail="overlap"``:
 
-  * ``phase_stem``   — cnv1 (7x7/s2 on 3 channels) and cnv1b (7x7/s1 on 32) run
-    phase-packed: contraction dims 48->432 and 128->3200, output dims 128;
-    cnv2 consumes the packed tensor directly (no repack).
-  * ``phase_deconv`` — every upcnvN becomes a dense 2x2 conv + depth-to-space
-    (16/18 of the nominal deconv FLOPs, no input-dilation lowering).
-  * ``fused_tail``   — upcnv1/icnv1/disp1 and the d2 bilinear feedback all run at half
-    resolution on phase-packed tensors; no full-resolution activation exists until the
-    final depth-to-space of disp1's 4 output phases.
+  * overlap stem — cnv1b (7x7/s1 on 32ch) as an overlapped 8x8/s2 conv
+    (K=2048/N=128, 1.31x FLOPs); cnv2 consumes the packed tensor directly.
+  * overlap tail — icnv1 as an overlapped 4x4/s2 conv (packed N=64) and disp1 on
+    the packed tensor; only upcnv1's output and the 17-ch concat exist full-res.
+
+The other modes (aligned-phase stem/tail, phase deconvs, hybrid packed-cnv2b stem,
+Pallas fused tail) are kept as measured alternatives — every one is exact and
+parity-tested, and every one measured slower whole-graph (see ROADMAP).
 
 Batch-norm is folded to its eval-mode affine (slim ``scale=False``: y = x*rsqrt(var+eps)
 + (bias - mean*rsqrt(var+eps))).  All rewrites are bit-exact up to float reassociation —
