@@ -40,7 +40,9 @@ def _pallas_eligible(imgs, coords) -> bool:
         return False
     B, Hs, Ws, C = imgs.shape
     Ht, Wt = coords.shape[1:3]
-    return (Hs == Ht and Ws == Wt and Ws % 128 == 0 and Hs % 8 == 0
+    # width is padded to a 128-multiple inside the kernel wrapper, so any Ws >= 128
+    # qualifies; small pyramid scales stay on the (cheap there) XLA path
+    return (Hs == Ht and Ws == Wt and Ws >= 128 and Hs % 8 == 0
             and imgs.dtype == jnp.float32 and coords.dtype == jnp.float32)
 
 

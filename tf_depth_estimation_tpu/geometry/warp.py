@@ -66,17 +66,18 @@ def projective_inverse_warp(
     return WarpResult(out, coords, wmask, warped_depth, pose_mat)
 
 
-def flow_warp(img: jnp.ndarray, flow_x: jnp.ndarray, flow_y: jnp.ndarray) -> jnp.ndarray:
+def flow_warp(img: jnp.ndarray, flow_x: jnp.ndarray, flow_y: jnp.ndarray,
+              sampler: str = "xla") -> jnp.ndarray:
     """Warp by adding a flow field to the identity grid (ref ``utils_lr.py:258-274``).
 
-    ``flow_x/flow_y``: ``[B, H, W, 1]``.
+    ``flow_x/flow_y``: ``[B, H, W, 1]``.  ``sampler``: see ``bilinear_sample``.
     """
     B, H, W, _ = img.shape
     grid = pixel_grid(H, W, homogeneous=False)  # [2, H, W]
     coords = jnp.stack(
         [grid[0][None] + flow_x[..., 0], grid[1][None] + flow_y[..., 0]], axis=-1
     )
-    out, _ = bilinear_sample(img, coords)
+    out, _ = bilinear_sample(img, coords, sampler=sampler)
     return out
 
 

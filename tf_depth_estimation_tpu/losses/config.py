@@ -16,6 +16,10 @@ class LossWeights:
     width: int
     num_scales: int = 4
     max_steps: int = 200_000
+    # gather backend for the warps ("xla" | "pallas") — "pallas" pays where XLA's
+    # in-graph gather is slow (measured: non-128-multiple widths, e.g. config 4's
+    # 224x480); see geometry.sampling.bilinear_sample
+    sampler: str = "xla"
 
     smooth_weight: float = 1.0
     data_weight: float = 0.0
@@ -47,10 +51,15 @@ class LossWeights:
 
     @classmethod
     def optflow_combine(cls) -> "LossWeights":
-        """``train_optflow_combine.py:32-41`` — 224x480 (BASELINE config 4)."""
+        """``train_optflow_combine.py:32-41`` — 224x480 (BASELINE config 4).
+
+        ``sampler="pallas"``: XLA's gather is slow at this non-128-multiple width
+        and the banded Pallas sampler cuts the train step 188.9 -> 144.1 ms on the
+        v5e (A/B, identical loss); the TPU-only routing falls back to XLA on CPU.
+        """
         return cls(height=224, width=480, max_steps=20_000,
                    smooth_weight=0.5, data_weight=0.5, optflow_weight=1.0,
-                   depth_weight=50.0)
+                   depth_weight=50.0, sampler="pallas")
 
     @classmethod
     def on_demon(cls) -> "LossWeights":

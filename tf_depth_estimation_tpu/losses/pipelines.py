@@ -274,17 +274,18 @@ def optflow_combine_loss(image_left, image_right, pred_depths, pred_flow_x, pred
 
         gt_warp = projective_inverse_warp(
             curr_right, 1.0 / curr_label[..., 0], tgt2src_proj, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         pred_warp = projective_inverse_warp(
             curr_right, 1.0 / pred_depths[s][..., 0], tgt2src_proj, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         wmask = gt_warp.mask  # validity from the GT warp (train_optflow_combine.py:176)
         pixel_loss += jnp.mean(jnp.abs(pred_warp.image - curr_left) * wmask) \
             * w.data_weight / 2**s
 
-        flow_img = flow_warp(curr_right, pred_flow_x[s], pred_flow_y[s])
+        flow_img = flow_warp(curr_right, pred_flow_x[s], pred_flow_y[s],
+                             sampler=w.sampler)
         pixel_loss += jnp.mean(jnp.abs(flow_img - curr_left) * wmask) * w.data_weight / 2**s
 
         gt_fx, gt_fy = flow_from_coords(gt_warp.coords)

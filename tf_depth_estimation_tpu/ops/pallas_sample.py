@@ -2,11 +2,14 @@
 
 STATUS — exact (0.0 forward error vs the jnp sampler), compiled and A/B'd on the
 v5e at 192x256 b16 C3: **wins standalone** (fwd 14.8 vs 31.6 ms, grad 17.0 vs
-34.9 ms) but **loses inside large fused graphs** (depth_then_cam train step 69.4 vs
-66.1 ms, refine 34.1 vs 28.5 ms/step) — XLA amortizes in-graph gathers far below
-their standalone cost.  Hence opt-in: ``bilinear_sample(..., sampler="pallas")``
-for warp-dominated graphs; the loss pipelines keep the XLA path.  See ROADMAP
-"Pallas-on-TPU conclusions".
+34.9 ms); inside large fused graphs the verdict is *width-dependent*: XLA
+amortizes in-graph gathers well at 128-multiple widths (depth_then_cam 69.4 vs
+66.1 ms — slight loss) but NOT at other widths, where this kernel wins big —
+config 4's 224x480 optflow_combine train step drops **188.9 -> 144.1 ms (-24%)**
+with identical loss, and ships with ``sampler="pallas"`` as that config's default
+(``LossWeights.optflow_combine``).  Elsewhere opt-in:
+``bilinear_sample(..., sampler="pallas")``.  See ROADMAP "Pallas-on-TPU
+conclusions".
 
 The projective warp's 4-corner gather (``geometry/sampling.py``, ref
 ``utils_lr.py:276-366``) is the dominant cost of *standalone* warp evaluation on
@@ -193,13 +196,24 @@ def _sample_banded(imgs, coords, interpret=False):
     Returns (output, wmask, corners) with corners = (im00, im01, im10, im11),
     each (B, Ht, Wt, C)."""
     B, Hs, Ws, C = imgs.shape
+    # Exact border semantics come from the prologue at the ORIGINAL width; the
+    # kernel itself runs at the next 128-multiple width (zero-weight pad columns,
+    # edge-padded row indices so the band base is unaffected), sliced back after.
     ints, w = _prologue(imgs, coords)
+    Wp = -(-Ws // 128) * 128
     planes = dict(ints)
     planes.update({k: v for k, v in w.items()})
-    imgs_cf = jnp.transpose(imgs, (0, 3, 1, 2))
+    if Wp != Ws:
+        cp = ((0, 0), (0, 0), (0, Wp - Ws))
+        planes = {k: jnp.pad(v, cp, mode="edge" if k.startswith("i") else "constant")
+                  for k, v in planes.items()}
+        imgs_k = jnp.pad(imgs, ((0, 0), (0, 0), (0, Wp - Ws), (0, 0)))
+    else:
+        imgs_k = imgs
+    imgs_cf = jnp.transpose(imgs_k, (0, 3, 1, 2))
     out_cf, c00, c01, c10, c11, okt = _run_kernel(imgs_cf, planes,
                                                   interpret=interpret)
-    tocl = lambda t: jnp.transpose(t, (0, 2, 3, 1))
+    tocl = lambda t: jnp.transpose(t, (0, 2, 3, 1))[:, :, 0:Ws]
 
     def fast(_):
         return (tocl(out_cf), tocl(c00), tocl(c01), tocl(c10), tocl(c11))
