@@ -165,11 +165,12 @@ def pairwise_depth_loss(
 
         # photometric warps (always built in the reference; losses gated below)
         warp_left = projective_inverse_warp(
-            curr_right, 1.0 / curr_label[..., 0], GT_l2r, intrinsics[:, s], fmt="matrix"
+            curr_right, 1.0 / curr_label[..., 0], GT_l2r, intrinsics[:, s],
+            fmt="matrix", sampler=w.sampler,
         )
         warp_right = projective_inverse_warp(
             curr_left, 1.0 / pred_depth_right[idx(s)][..., 0], GT_r2l,
-            intrinsics[:, s], fmt="matrix",
+            intrinsics[:, s], fmt="matrix", sampler=w.sampler,
         )
         err_left = jnp.abs(warp_left.image - curr_left)
         err_right = jnp.abs(warp_right.image - curr_right)
@@ -233,7 +234,7 @@ def depth_then_cam_loss(image_left, image_right, pred_disps, pred_poses,
         curr_right = resize_area(image_right, hw)
         warp = projective_inverse_warp(
             curr_right, 1.0 / pred_disps[s][..., 0], pred_poses[:, 0, :],
-            intrinsics[:, s], fmt="euler",
+            intrinsics[:, s], fmt="euler", sampler=w.sampler,
         )
         err = jnp.abs(warp.image - curr_left)
         if w.explain_reg_weight > 0:
@@ -341,11 +342,11 @@ def lr_full_loss(image_left, image_right,
 
         warp_left = projective_inverse_warp(
             curr_right, 1.0 / pair_left[s][..., 0], pred_poses_right[:, 0, :],
-            intrinsics[:, s], fmt="angleaxis",
+            intrinsics[:, s], fmt="angleaxis", sampler=w.sampler,
         )
         warp_right = projective_inverse_warp(
             curr_left, 1.0 / pair_right[s][..., 0], pred_poses_left[:, 0, :],
-            intrinsics[:, s], fmt="angleaxis",
+            intrinsics[:, s], fmt="angleaxis", sampler=w.sampler,
         )
         err_left = jnp.abs(warp_left.image - curr_left)
         err_right = jnp.abs(warp_right.image - curr_right)
@@ -426,11 +427,11 @@ def lr_gt_pose_loss(image_left, image_right,
 
         warp_left = projective_inverse_warp(
             curr_right, 1.0 / pair_left[s][..., 0], pose_l2r, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         warp_right = projective_inverse_warp(
             curr_left, 1.0 / pair_right[s][..., 0], pose_r2l, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         err_left = jnp.abs(warp_left.image - curr_left)
         err_right = jnp.abs(warp_right.image - curr_right)
@@ -478,7 +479,7 @@ def dim11_joint_loss(image_left, image_right, pred_depths, pred_poses, pred_exp_
         depth_loss += jnp.mean(jnp.abs(curr_label - pred_depths[s])) * w.depth_weight
         warp = projective_inverse_warp(
             curr_right, 1.0 / pred_depths[s][..., 0], pred_poses[:, 0, :],
-            intrinsics[:, s], fmt="euler",
+            intrinsics[:, s], fmt="euler", sampler=w.sampler,
         )
         err = jnp.abs(warp.image - curr_left)
         if w.explain_reg_weight > 0:
@@ -508,7 +509,7 @@ def only_image_loss(image_left, image_right, pred_depths, tgt2src_proj, intrinsi
         curr_right = resize_area(image_right, hw)
         warp = projective_inverse_warp(
             curr_right, 1.0 / pred_depths[s][..., 0], tgt2src_proj, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         pixel_loss += jnp.mean(jnp.abs(warp.image - curr_left)) * w.data_weight / 2**s
     total = pixel_loss + smooth_loss
@@ -532,12 +533,13 @@ def optflow_only_loss(image_left, image_right, pred_flow_x, pred_flow_y, label,
         curr_left = resize_area(image_left, hw)
         curr_right = resize_area(image_right, hw)
 
-        proj = flow_warp(curr_right, pred_flow_x[s], pred_flow_y[s])
+        proj = flow_warp(curr_right, pred_flow_x[s], pred_flow_y[s],
+                         sampler=w.sampler)
         pixel_loss += jnp.mean(jnp.abs(proj - curr_left)) * w.data_weight / 2**s
 
         gt_warp = projective_inverse_warp(
             curr_right, 1.0 / curr_label[..., 0], tgt2src_proj, intrinsics[:, s],
-            fmt="matrix",
+            fmt="matrix", sampler=w.sampler,
         )
         gt_fx, gt_fy = flow_from_coords(gt_warp.coords)
         optflow_loss += jnp.mean(jnp.abs(pred_flow_x[s] - gt_fx)) * w.optflow_weight / 2**s
@@ -565,7 +567,7 @@ def optflow3_loss(image_left, image_right, pred_depths, label, tgt2src_proj, int
         if w.data_weight > 0:
             warp = projective_inverse_warp(
                 curr_right, 1.0 / pred_depths[s][..., 0], tgt2src_proj,
-                intrinsics[:, s], fmt="matrix",
+                intrinsics[:, s], fmt="matrix", sampler=w.sampler,
             )
             pixel_loss += jnp.mean(jnp.abs(warp.image - curr_left)) * w.data_weight / 2**s
     total = depth_loss + smooth_loss + pixel_loss
@@ -595,7 +597,7 @@ def multi_source_loss(tgt_image, src_images, pred_disps, label, tgt2src_projs,
             curr_src = resize_area(src, hw)
             warp = projective_inverse_warp(
                 curr_src, 1.0 / pred_disps[s][..., 0], tgt2src_projs[:, i],
-                intrinsics[:, s], fmt="matrix",
+                intrinsics[:, s], fmt="matrix", sampler=w.sampler,
             )
             pixel_loss += jnp.mean(jnp.abs(warp.image - curr_tgt)) * w.data_weight / 2**s
     total = smooth_loss + depth_loss
