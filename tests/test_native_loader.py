@@ -56,7 +56,8 @@ def test_native_loader_wired_into_depth_only_cli(colon_root, tmp_path):
 
 
 def test_iter_batcher_epochs(colon_root):
-    """IterBatcher drops remainders and repeats epochs over the native stream."""
+    """IterBatcher batches across epoch boundaries (tf.train.batch is one continuous
+    queue) and drops only the final partial batch."""
     from tf_depth_estimation_tpu.data import IterBatcher
 
     ds = PairDepthDataset(colon_root, split="train", image_height=H, image_width=W,
@@ -64,7 +65,11 @@ def test_iter_batcher_epochs(colon_root):
     sampler = NativePairSampler(ds, num_threads=2, shuffle=True)
     n = len(ds)
     bs = 2
-    per_epoch = n // bs
     batches = list(IterBatcher(lambda: iter(sampler), bs, num_epochs=2))
-    assert len(batches) == 2 * per_epoch
+    assert len(batches) == (2 * n) // bs
     assert batches[0]["tgt_image"].shape == (bs, H, W, 3)
+
+    # an odd batch size forces a mid-epoch carry: every sample still appears
+    # num_epochs times across the emitted batches (no per-epoch data loss)
+    batches3 = list(IterBatcher(lambda: iter(sampler), 3, num_epochs=3))
+    assert len(batches3) == (3 * n) // 3

@@ -55,6 +55,16 @@ def test_banded_forward_border_semantics():
     np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
 
 
+def test_banded_forward_height_8mod16_exact():
+    # Hs = 24 (divisible by 8 but not 16): the kernel must drop to TR=8, not crash
+    # (the eligibility gate admits any H % 8 == 0)
+    imgs, coords = _mk(B=2, Hs=24, Ws=128, C=2, jitter=2.0, seed=5)
+    ref_out, ref_mask = bilinear_sample(imgs, coords)
+    out, mask, _ = _sample_banded(imgs, coords, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref_out), rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(mask), np.asarray(ref_mask))
+
+
 def test_banded_forward_nonaligned_width_pads_exact():
     # W=160 (not a 128-multiple): the wrapper pads to 256 and slices back
     imgs, coords = _mk(B=2, Hs=16, Ws=160, C=2, jitter=2.0, seed=4)

@@ -122,8 +122,10 @@ class IterBatcher:
 
     ``factory()`` must return a fresh sample iterator; each exhaustion is one epoch
     (the native sampler reshuffles per iteration like the reference's shuffling queue).
-    Remainders are dropped (``tf.train.batch`` semantics); no extra worker threads —
-    sources like ``NativePairSampler`` pipeline internally.
+    Partial batches carry across epoch boundaries — ``tf.train.batch`` batches a
+    continuous queue, so only the final partial batch (after the last epoch) is
+    dropped.  No extra worker threads — sources like ``NativePairSampler`` pipeline
+    internally.
     """
 
     def __init__(self, factory: Callable[[], Iterator[dict]], batch_size: int,
@@ -134,8 +136,8 @@ class IterBatcher:
 
     def __iter__(self) -> Iterator[dict]:
         epoch = 0
+        buf = []
         while self.num_epochs is None or epoch < self.num_epochs:
-            buf = []
             for s in self.factory():
                 buf.append(s)
                 if len(buf) == self.batch_size:

@@ -92,15 +92,18 @@ def flow_from_coords(src_coords: jnp.ndarray):
     return fx, fy
 
 
-def resample_depth(src_depth: jnp.ndarray, coords: jnp.ndarray) -> jnp.ndarray:
+def resample_depth(src_depth: jnp.ndarray, coords: jnp.ndarray,
+                   sampler: str = "xla") -> jnp.ndarray:
     """Bilinear-sample a (inverse) depth map of the other view at warped coords."""
-    out, _ = bilinear_sample(src_depth, coords)
+    out, _ = bilinear_sample(src_depth, coords, sampler=sampler)
     return out
 
 
 def consistent_depth_error(
-    src_depth: jnp.ndarray, pred_src_depth: jnp.ndarray, coords: jnp.ndarray
+    src_depth: jnp.ndarray, pred_src_depth: jnp.ndarray, coords: jnp.ndarray,
+    sampler: str = "xla",
 ) -> jnp.ndarray:
     """|pred_src_depth - sample(src_depth, coords)| — left/right depth consistency
     (ref ``consistent_depth_loss``, ``utils_lr.py:369-458``)."""
-    return jnp.abs(pred_src_depth - resample_depth(src_depth, coords))
+    return jnp.abs(pred_src_depth - resample_depth(src_depth, coords,
+                                                   sampler=sampler))

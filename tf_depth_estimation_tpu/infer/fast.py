@@ -113,11 +113,16 @@ def fast_depth_forward(
             # cnv1 + cnv1b both on aligned phase cells (2.04x FLOPs for cnv1b)
             c1_ph = stem_conv_s2_phase(x, cw(enc_p, "cnv1"))
             c1_ph = aff(c1_ph, enc_p, enc_s, "cnv1", tiled=True)
+            if stop_at == "cnv1":
+                return [c1_ph]
             c1b_ph = conv_s1_phase(c1_ph, cw(enc_p, "cnv1b"))
         elif stem == "hybrid":
             # like "overlap", plus cnv2b in overlapped form (below).  A phase-packed
             # cnv1 was measured at parity with the native conv (5.08 vs 5.02 ms —
             # XLA re-places the layout cost, profile_fast.py), so cnv1 stays native.
+            # cnv2b's overlapped form needs the post-cnv2 tensor (H/4, W/4) even:
+            assert H % 8 == 0 and W % 8 == 0, (
+                f"hybrid stem needs H, W divisible by 8, got {H}x{W}")
             c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
             if stop_at == "cnv1":
                 return [c1]
@@ -150,6 +155,8 @@ def fast_depth_forward(
         skips.append(("full", x))
         start = 3
     else:
+        if stop_at:
+            raise ValueError("stop_at probes are not implemented for stem='native'")
         start = 1
     if stop_at == "stem":        # cumulative-cost probe (tools/profile_fast.py)
         return [t for _k, t in skips]

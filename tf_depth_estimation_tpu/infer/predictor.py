@@ -43,8 +43,9 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
     tail itself instead of a full batch (VERDICT r1 weak #7) while keeping the number
     of distinct compiled shapes bounded by log2(batch_size).
 
-    Returns the list of per-chunk outputs (device objects), already de-padded via the
-    accompanying slice sizes; caller concatenates.
+    Returns the list of per-chunk outputs pulled to the host as they complete —
+    bounding device memory to one in-flight batch regardless of directory size —
+    with the accompanying keep sizes; caller concatenates and de-pads.
     """
     N = arrays.shape[0]
     outs = []
@@ -61,7 +62,8 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
                 chunk = np.concatenate(
                     [chunk, np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)], 0)
             keep = n
-        outs.append((fwd(jnp.asarray(chunk)), keep))
+        out = fwd(jnp.asarray(chunk))
+        outs.append((jax.tree.map(np.asarray, out), keep))
         i += keep
     return outs
 

@@ -195,10 +195,12 @@ def pairwise_depth_loss(
             if w.depth_weight_consist > 0 and exp_l is not None:
                 # L/R inverse-depth consistency (my_losses.py:286-294, utils_lr.py:369)
                 r_err = consistent_depth_error(
-                    1.0 / pred_depth_right[idx(s)], warp_left.warped_depth, warp_left.coords
+                    1.0 / pred_depth_right[idx(s)], warp_left.warped_depth,
+                    warp_left.coords, sampler=w.sampler,
                 )
                 l_err = consistent_depth_error(
-                    1.0 / pred_depth_left[idx(s)], warp_right.warped_depth, warp_right.coords
+                    1.0 / pred_depth_left[idx(s)], warp_right.warped_depth,
+                    warp_right.coords, sampler=w.sampler,
                 )
                 consist_loss += jnp.mean(r_err * exp_l) * w.depth_weight_consist
                 consist_loss += jnp.mean(l_err * exp_r) * w.depth_weight_consist
@@ -367,9 +369,9 @@ def lr_full_loss(image_left, image_right,
             pixel_loss += jnp.mean(err_right * exp_r) * w.data_weight
 
         r_err = consistent_depth_error(1.0 / pair_right[s], warp_left.warped_depth,
-                                       warp_left.coords)
+                                       warp_left.coords, sampler=w.sampler)
         l_err = consistent_depth_error(1.0 / pair_left[s], warp_right.warped_depth,
-                                       warp_right.coords)
+                                       warp_right.coords, sampler=w.sampler)
         consist_loss += jnp.mean(r_err * exp_l) * w.depth_weight
         consist_loss += jnp.mean(l_err * exp_r) * w.depth_weight
 
@@ -446,9 +448,9 @@ def lr_gt_pose_loss(image_left, image_right,
             pixel_loss += jnp.mean(err_right * exp_r) * w.data_weight / 2**s
 
         r_err = consistent_depth_error(1.0 / pair_right[s], warp_left.warped_depth,
-                                       warp_left.coords)
+                                       warp_left.coords, sampler=w.sampler)
         l_err = consistent_depth_error(1.0 / pair_left[s], warp_right.warped_depth,
-                                       warp_right.coords)
+                                       warp_right.coords, sampler=w.sampler)
         consist_loss += jnp.mean(r_err * exp_l) * w.consist_weight / 2**s
         consist_loss += jnp.mean(l_err * exp_r) * w.consist_weight / 2**s
 

@@ -82,7 +82,9 @@ def _prologue(imgs, coords):
         iy0=y0s.astype(jnp.int32), iy1=y1s.astype(jnp.int32),
     )
     w = dict(w00=wx0 * wy0, w01=wx0 * wy1, w10=wx1 * wy0, w11=wx1 * wy1)
-    return ints, w
+    aux = dict(inx0=(x0 == x0s), inx1=(x1 == x1s), iny0=(y0 == y0s),
+               iny1=(y1 == y1s), wx0=wx0, wx1=wx1, wy0=wy0, wy1=wy1)
+    return ints, w, aux
 
 
 def _sample_kernel(img_hbm, ix0, ix1, iy0, iy1, w00, w01, w10, w11,
@@ -159,7 +161,8 @@ def _sample_kernel(img_hbm, ix0, ix1, iy0, iy1, w00, w01, w10, w11,
 def _run_kernel(imgs_cf, ints, interpret=False):
     """imgs_cf: (B, C, H, W) f32.  Returns (out_cf, corners_cf x4, ok (B, NT))."""
     B, C, H, W = imgs_cf.shape
-    TR = min(_TR, H)
+    # largest tile that divides H (the eligibility gate guarantees H % 8 == 0)
+    TR = _TR if H % _TR == 0 else 8
     BK = min(_BK, H)   # small images: the whole height is the band
     assert H % TR == 0 and W % 128 == 0, (H, W)
     NT = H // TR
@@ -199,7 +202,7 @@ def _sample_banded(imgs, coords, interpret=False):
     # Exact border semantics come from the prologue at the ORIGINAL width; the
     # kernel itself runs at the next 128-multiple width (zero-weight pad columns,
     # edge-padded row indices so the band base is unaffected), sliced back after.
-    ints, w = _prologue(imgs, coords)
+    ints, w, _aux = _prologue(imgs, coords)
     Wp = -(-Ws // 128) * 128
     planes = dict(ints)
     planes.update({k: v for k, v in w.items()})
@@ -260,23 +263,15 @@ def _bwd(res, cots):
     imgs, coords, (im00, im01, im10, im11) = res
     dout, dwmask = cots
     B, Hs, Ws, C = imgs.shape
-    cx = coords[..., 0]
-    cy = coords[..., 1]
-    x0 = jnp.floor(cx)
-    y0 = jnp.floor(cy)
-    x1 = x0 + 1.0
-    y1 = y0 + 1.0
-    inx0 = (x0 == jnp.clip(x0, 0.0, Ws - 1.0))
-    inx1 = (x1 == jnp.clip(x1, 0.0, Ws - 1.0))
-    iny0 = (y0 == jnp.clip(y0, 0.0, Hs - 1.0))
-    iny1 = (y1 == jnp.clip(y1, 0.0, Hs - 1.0))
-    wx0 = (x1 - cx) * inx0
-    wx1 = (cx - x0) * inx1
-    wy0 = (y1 - cy) * iny0
-    wy1 = (cy - y0) * iny1
+    # one shared prologue — the zero-weight-outside border semantics live in ONE
+    # place; the backward derives everything from its outputs
+    ints, w, aux = _prologue(imgs, coords)
+    wx0, wx1, wy0, wy1 = aux["wx0"], aux["wx1"], aux["wy0"], aux["wy1"]
     # d w / d cx, cy (a.e.; floor/clip boundaries contribute 0, matching XLA autodiff)
-    dwx0, dwx1 = -inx0.astype(imgs.dtype), inx1.astype(imgs.dtype)
-    dwy0, dwy1 = -iny0.astype(imgs.dtype), iny1.astype(imgs.dtype)
+    dwx0 = -aux["inx0"].astype(imgs.dtype)
+    dwx1 = aux["inx1"].astype(imgs.dtype)
+    dwy0 = -aux["iny0"].astype(imgs.dtype)
+    dwy1 = aux["iny1"].astype(imgs.dtype)
 
     s00 = jnp.sum(dout * im00, axis=-1)
     s01 = jnp.sum(dout * im01, axis=-1)
@@ -292,7 +287,6 @@ def _bwd(res, cots):
 
     # image cotangent: scatter-add of weighted output cotangents at the corner
     # indices (XLA scatter — DCE'd when the sampled tensor isn't differentiated)
-    ints, w = _prologue(imgs, coords)
     flat = jnp.zeros((B, Hs * Ws, C), imgs.dtype)
 
     def scat(flat, iy, ix, wgt):

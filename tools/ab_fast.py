@@ -1,7 +1,8 @@
 """A/B timing of the fast inference path vs the module forward on the real TPU.
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/ab_fast.py [B] [combos...]
-Combos: baseline, none, deconv, tail, stem, deconv+tail, all (default: all of them).
+Combos: baseline, none, deconv, tail, tailov, stem, stemov, best, pallas, pallas0,
+hybrid, bestdp (default: baseline stemov tailov best).
 """
 from __future__ import annotations
 
@@ -11,17 +12,10 @@ import time
 import numpy as np
 
 
-def time_fn(jf, x, n=12, trials=4):
-    s = float(jf(x))
-    assert np.isfinite(s), "non-finite output"
-    best = 1e30
-    for _ in range(trials):
-        t0 = time.time()
-        for _ in range(n):
-            out = jf(x)
-        _ = float(out)
-        best = min(best, (time.time() - t0) / n)
-    return best
+try:
+    from tools._bench import time_fn
+except ImportError:  # run as `python tools/x.py`
+    from _bench import time_fn
 
 
 def main():

@@ -65,14 +65,6 @@ def main():
         rows = rows.reshape(B, P, W, C)
         return jnp.take_along_axis(rows, ix[..., None, None], axis=2)[:, :, 0]
 
-    @jax.jit
-    def v5_onehot_y_matmul(img, iy, ix):  # y via one-hot MXU, x via minor gather
-        oh = jax.nn.one_hot(iy, H, dtype=jnp.bfloat16)          # (B, P, H)
-        rows = jnp.einsum("bph,bhwc->bpwc", oh,
-                          img.astype(jnp.bfloat16))             # MXU row-select
-        return jnp.take_along_axis(
-            rows.astype(jnp.float32), ix[..., None, None], axis=2)[:, :, 0]
-
     t1, r1 = bench(v1_take_along_mid, img, idx)
     print(f"v1 take_along axis=1 (current): {t1:9.3f} ms")
     t2, r2 = bench(v2_take_along_minor, img, idx)

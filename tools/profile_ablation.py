@@ -15,18 +15,10 @@ import time
 import numpy as np
 
 
-def time_fn(jf, x, n=12, trials=3):
-    import numpy as np
-    s = float(jf(x))
-    assert np.isfinite(s)
-    best = 1e30
-    for _ in range(trials):
-        t0 = time.time()
-        for _ in range(n):
-            out = jf(x)
-        _ = float(out)
-        best = min(best, (time.time() - t0) / n)
-    return best
+try:
+    from tools._bench import time_fn
+except ImportError:  # run as `python tools/x.py`
+    from _bench import time_fn
 
 
 def main():
