@@ -322,3 +322,41 @@ def test_demon_v1_converter_raw_and_Krt_variant(tmp_path):
         g = fd[sorted(fd.keys())[0]]
         np.testing.assert_allclose(np.asarray(g["motion"]),
                                    [0, 0, 0, 1, 1, 1], atol=1e-7)
+
+
+def test_stream_loader_propagates_producer_error():
+    """A dying producer thread must fail the consumer loudly, not hang it."""
+    from tf_depth_estimation_tpu.data.pipeline import StreamLoader
+
+    class BadDataset:
+        def sample(self, rng):
+            raise IOError("corrupt record")
+
+    loader = StreamLoader(BadDataset(), batch_size=2, num_workers=1)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        next(iter(loader))
+
+
+def test_iter_batcher_empty_source_raises():
+    from tf_depth_estimation_tpu.data import IterBatcher
+
+    with pytest.raises(ValueError, match="no samples"):
+        list(IterBatcher(lambda: iter(()), batch_size=2, num_epochs=2))
+
+
+def test_batched_apply_tail_bucket_divisible_by_min_chunk():
+    """Sharded predictors need the padded tail bucket divisible by num_devices."""
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.infer.predictor import _batched_apply
+
+    seen = []
+
+    def fwd(x):
+        seen.append(x.shape[0])
+        return jnp.zeros((x.shape[0], 4))
+
+    arrays = np.zeros((23, 8, 8, 3), np.float32)
+    outs = _batched_apply(fwd, arrays, batch_size=12, min_chunk=6)
+    assert sum(k for _z, k in outs) == 23
+    assert all(s % 6 == 0 for s in seen), seen

@@ -138,12 +138,25 @@ class IterBatcher:
         epoch = 0
         buf = []
         while self.num_epochs is None or epoch < self.num_epochs:
+            produced = 0
             for s in self.factory():
+                produced += 1
                 buf.append(s)
                 if len(buf) == self.batch_size:
                     yield {k: np.stack([x[k] for x in buf], 0) for k in buf[0]}
                     buf = []
+            if produced == 0:
+                # match BatchLoader's empty-dataset error instead of silently
+                # yielding nothing (or hot-looping forever with num_epochs=None)
+                raise ValueError("IterBatcher: source iterator produced no samples")
             epoch += 1
+
+
+class _ProducerError:
+    """Queue marker carrying a producer-thread exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
 
 
 class StreamLoader:
@@ -191,13 +204,16 @@ class StreamLoader:
             rng = np.random.RandomState(
                 (self.seed * 1000003 + self.host_index * 9973 + worker_id) & 0x7FFFFFFF
             )
-            while not stop.is_set():
-                samples = []
-                for _ in range(self.batch_size):
-                    if stop.is_set():
-                        return
-                    samples.append(self.dataset.sample(rng))
-                out_q.put(self._collate(samples))
+            try:
+                while not stop.is_set():
+                    samples = []
+                    for _ in range(self.batch_size):
+                        if stop.is_set():
+                            return
+                        samples.append(self.dataset.sample(rng))
+                    out_q.put(self._collate(samples))
+            except BaseException as e:  # propagate instead of hanging the consumer
+                out_q.put(_ProducerError(e))
 
         workers = [
             threading.Thread(target=producer, args=(w,), daemon=True)
@@ -207,7 +223,14 @@ class StreamLoader:
             t.start()
         try:
             while True:
-                yield out_q.get()
+                item = out_q.get()
+                if isinstance(item, _ProducerError):
+                    # a worker died (corrupt record, I/O error, ...): fail the run
+                    # loudly rather than blocking forever on an empty queue
+                    raise RuntimeError(
+                        "StreamLoader producer thread failed"
+                    ) from item.exc
+                yield item
         finally:
             stop.set()
             # unblock producers stuck on put(), then join so the caller may safely

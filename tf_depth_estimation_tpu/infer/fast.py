@@ -38,8 +38,6 @@ from tf_depth_estimation_tpu.ops.phase import (
 )
 from tf_depth_estimation_tpu.ops.resize import resize_bilinear, resize_like
 
-_ENC = ((32, 7), (64, 5), (128, 3), (256, 3), (512, 3), (512, 3), (512, 3))
-
 
 def _affine(params, stats, name):
     """Eval-mode slim batch_norm (center-only) as (scale, shift) float32 vectors."""

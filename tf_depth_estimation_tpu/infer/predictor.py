@@ -56,6 +56,9 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
             chunk, keep = arrays[i : i + batch_size], batch_size
         else:
             bucket = max(min_chunk, 1 << (n - 1).bit_length())  # next pow2 >= n
+            # sharded predictors pass min_chunk=num_devices: keep the padded
+            # bucket divisible so in_shardings can split axis 0
+            bucket = -(-bucket // min_chunk) * min_chunk
             bucket = min(bucket, batch_size)
             chunk = arrays[i : i + n]
             if bucket != n:

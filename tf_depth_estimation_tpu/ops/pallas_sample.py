@@ -33,9 +33,12 @@ decomposes the arbitrary 2D gather into that primitive:
                  exact product/sum order, with the weights computed by the SAME XLA
                  prologue as the jnp sampler (zero-weight-outside semantics included)
 
-  coverage:      a tile whose y-span exceeds the band sets a flag; the caller falls
-                 back to the exact XLA sampler for that batch via ``lax.cond`` — the
-                 kernel is exact for ALL inputs, just fast for the (typical) banded ones
+  coverage:      a tile whose y-span exceeds the band sets a flag; if ANY tile
+                 overflows, the whole call falls back to the exact XLA sampler via
+                 ``lax.cond`` (per-element fallback under vmap would execute both
+                 branches — a whole-call cond keeps the fast path truly fast).  The
+                 kernel is exact for ALL inputs; one extreme warp in a batch reverts
+                 that call to XLA-gather speed, nothing more
 
 Layout: channels-first (B, C, H, W) so the lane dim is W (a multiple of 128 — no lane
 padding, which would make ANY-space DMA slices illegal on this toolchain).

@@ -128,9 +128,11 @@ def fixture_pair(args, H, W):
         from PIL import Image
 
         paths = args.fixture_images.split(",")
-        imgs = [np.asarray(Image.open(p).resize((W, H), Image.LANCZOS), np.float32)
-                for p in paths[:2]]
-        pair = np.concatenate([im[..., :3] / 255.0 - 0.5 for im in imgs], axis=-1)
+        if len(paths) != 2:
+            raise ValueError("--fixture_images needs exactly two comma-separated paths")
+        imgs = [np.asarray(Image.open(p).convert("RGB").resize((W, H), Image.LANCZOS),
+                           np.float32) for p in paths]
+        pair = np.concatenate([im / 255.0 - 0.5 for im in imgs], axis=-1)
     else:
         from tf_depth_estimation_tpu.data.synthetic import _texture
 

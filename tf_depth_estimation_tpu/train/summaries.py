@@ -80,8 +80,10 @@ def make_pairwise_summary_fn(w, fixture_pair: Optional[np.ndarray] = None,
             cl = resize_area(left, hw)
             cr = resize_area(right, hw)
             depth_l = 1.0 / d_l[s]
+            # the pairwise family's poses are axis-angle (pipelines.py:135-136)
             warp = projective_inverse_warp(
-                cr, depth_l[..., 0], pose_r[:, 0, :], intrinsics[:, sc], fmt="euler")
+                cr, depth_l[..., 0], pose_r[:, 0, :], intrinsics[:, sc],
+                fmt="angleaxis")
             images[f"scale{s}_left_image"] = cl
             images[f"scale{s}_right_image"] = cr
             images[f"scale{s}_pred_depth_left"] = depth_l
