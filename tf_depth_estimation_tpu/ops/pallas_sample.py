@@ -60,6 +60,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 _TR = 16   # output rows per tile
 _BK = 32   # source-band rows resident per tile (8-aligned base)
+# Tiling A/B on the v5e (16x192x256x3, near-identity coords): 16/32 = 9.9 ms,
+# 8/24 = 10.0 ms, while 16/24 and 8/16 under-cover typical warps and collapse to
+# the 32 ms fallback — the band must exceed tile span + jitter + 7 rows of
+# base-alignment slack.
 
 
 def _prologue(imgs, coords):
