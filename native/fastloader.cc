@@ -9,6 +9,7 @@
 // tf_depth_estimation_tpu/data/native.py) — no GIL on the decode path.
 //
 // Build: make -C native   (produces libfastloader.so)
+#include <csetjmp>
 #include <cstddef>
 #include <cstdio>
 
@@ -33,13 +34,32 @@ struct ImageF32 {
   std::vector<float> data;  // HWC
 };
 
+// libjpeg's default error manager calls exit() on fatal errors — one corrupt
+// frame must not kill the training process, so route fatal errors through
+// setjmp/longjmp (the canonical libjpeg recovery pattern) and return false.
+struct JpegErrJmp {
+  jpeg_error_mgr pub;
+  std::jmp_buf env;
+};
+
+void jpeg_error_longjmp(j_common_ptr cinfo) {
+  std::longjmp(static_cast<JpegErrJmp*>(
+                   reinterpret_cast<void*>(cinfo->err))->env, 1);
+}
+
 bool decode_jpeg(const std::string& path, ImageF32* out) {
   FILE* f = std::fopen(path.c_str(), "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
-  jpeg_error_mgr jerr;
-  cinfo.err = jpeg_std_error(&jerr);
+  JpegErrJmp jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_longjmp;
   jpeg_create_decompress(&cinfo);
+  if (setjmp(jerr.env)) {  // fatal decode error (corrupt/truncated file)
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
   jpeg_stdio_src(&cinfo, f);
   if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
     jpeg_destroy_decompress(&cinfo);

@@ -73,3 +73,23 @@ def test_iter_batcher_epochs(colon_root):
     # num_epochs times across the emitted batches (no per-epoch data loss)
     batches3 = list(IterBatcher(lambda: iter(sampler), 3, num_epochs=3))
     assert len(batches3) == (3 * n) // 3
+
+
+def test_native_loader_survives_corrupt_jpeg(colon_root, tmp_path):
+    """A corrupt frame must be skipped (ref queue-runner behavior), not call exit()
+    through libjpeg's default fatal handler and kill the process."""
+    import shutil
+
+    root = tmp_path / "corrupt"
+    shutil.copytree(colon_root, root)
+    ds = PairDepthDataset(str(root), split="train", image_height=H, image_width=W,
+                          resized_height=H, resized_width=W)
+    # overwrite the first frame with garbage bytes
+    victim = ds.entries[0]["image"]
+    with open(victim, "wb") as f:
+        f.write(b"\xff\xd8\xff\xe0NOT A JPEG" + b"\x00" * 64)
+    sampler = NativePairSampler(ds, num_threads=2, shuffle=False)
+    got = list(sampler)
+    assert len(got) == len(ds) - 1          # the bad sample skipped, rest intact
+    for s in got:
+        assert np.isfinite(s["tgt_image"]).all()
