@@ -122,6 +122,10 @@ class DepthPredictor:
         """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract)."""
         os.makedirs(output_dir, exist_ok=True)
         img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
+        if not img_list:
+            raise FileNotFoundError(
+                f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
+                "non-recursively, like the reference batch_prediction.py)")
         frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
         preds = self.predict_array(frames)
         written = []
@@ -204,6 +208,10 @@ class PairPredictor:
                           bilateral: bool = True):
         os.makedirs(output_dir, exist_ok=True)
         img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
+        if not img_list:
+            raise FileNotFoundError(
+                f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
+                "non-recursively, like the reference batch_prediction.py)")
         frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
         depths, poses = self.predict_pairs(frames)
         written = []
