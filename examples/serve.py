@@ -1,0 +1,99 @@
+"""Directory-watching depth service — a minimal production serving loop.
+
+Watches ``--watch_dir`` for new ``*.jpg`` frames, batches them through
+``DepthPredictor`` (the compiled fast forward; one jit graph per bucket size), and
+writes ``<name>_z.bin`` float32 dumps to ``--output_dir``.  This is the serving-shaped
+counterpart of the reference's offline ``batch_prediction.py`` loop: frames arrive
+continuously, the device stays hot, and host decode overlaps device compute only
+through batch accumulation (multi-threaded decode needs a multi-core host — see
+ROADMAP "Input-side throughput").
+
+    python examples/serve.py --watch_dir ./incoming --output_dir ./out \
+        --checkpoint_dir ./ck [--poll_s 0.5] [--max_batches N]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from glob import glob
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--watch_dir", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--checkpoint_group", default="model")
+    p.add_argument("--height", type=int, default=224)
+    p.add_argument("--width", type=int, default=224)
+    p.add_argument("--out_height", type=int, default=240)
+    p.add_argument("--out_width", type=int, default=720)
+    p.add_argument("--batch_size", type=int, default=32)
+    p.add_argument("--poll_s", type=float, default=0.5)
+    p.add_argument("--max_batches", type=int, default=0,
+                   help="stop after N non-empty batches (0 = run forever)")
+    p.add_argument("--no_bilateral", action="store_true")
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tf_depth_estimation_tpu.infer.predictor import (
+        DepthPredictor,
+        _load_frame,
+        _postprocess,
+    )
+    from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
+    from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
+    from tf_depth_estimation_tpu.train.state import create_train_state
+
+    model = DispNet(DispNetVariant.depth4())
+    state = create_train_state(model, jnp.zeros((1, args.height, args.width, 3)))
+    params, stats = state.params, state.batch_stats
+    if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
+        mgr = CheckpointManager(args.checkpoint_dir)
+        if mgr.latest_step() is not None:
+            from tf_depth_estimation_tpu.train.loop import _save_tree, load_into_state
+
+            state = load_into_state(
+                state, mgr.restore_group(args.checkpoint_group, like=_save_tree(state)))
+            params, stats = state.params, state.batch_stats
+            print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
+
+    pred = DepthPredictor(params, stats, height=args.height, width=args.width,
+                          batch_size=args.batch_size)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    done = set()
+    batches = 0
+    print(f"watching {args.watch_dir} (poll {args.poll_s}s)", flush=True)
+    while True:
+        fresh = [f for f in sorted(glob(os.path.join(args.watch_dir, "*.jpg")))
+                 if f not in done]
+        if not fresh:
+            if args.max_batches and batches >= args.max_batches:
+                break
+            time.sleep(args.poll_s)
+            continue
+        t0 = time.time()
+        frames = np.stack([_load_frame(f, args.height, args.width) for f in fresh])
+        zs = pred.predict_array(frames)
+        for path, z in zip(fresh, zs):
+            z = _postprocess(z, args.out_height, args.out_width,
+                             bilateral=not args.no_bilateral)
+            z.tofile(os.path.join(
+                args.output_dir, os.path.basename(path) + "_z.bin"))
+            done.add(path)
+        dt = time.time() - t0
+        batches += 1
+        print(f"served {len(fresh)} frames in {dt:.3f}s "
+              f"({len(fresh)/dt:.1f} fps end-to-end)", flush=True)
+        if args.max_batches and batches >= args.max_batches:
+            break
+    return len(done)
+
+
+if __name__ == "__main__":
+    main()

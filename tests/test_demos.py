@@ -42,3 +42,18 @@ def test_demo_benchmark_cascade(frames, tmp_path):
     demo_benchmark.main(["--left", frames[0], "--right", frames[1],
                          "--out", out, "--height", "32", "--width", "64"])
     assert glob.glob(os.path.join(out, "*.png"))
+
+
+def test_serve_loop_processes_frames(frames, tmp_path):
+    import serve
+
+    out = str(tmp_path / "served")
+    n = serve.main(["--watch_dir", os.path.dirname(frames[0]),
+                    "--output_dir", out, "--height", "32", "--width", "64",
+                    "--out_height", "48", "--out_width", "96",
+                    "--batch_size", "4", "--max_batches", "1", "--no_bilateral"])
+    assert n == 2
+    written = glob.glob(os.path.join(out, "*_z.bin"))
+    assert len(written) == 2
+    z = np.fromfile(written[0], np.float32)
+    assert z.size == 48 * 96 and np.isfinite(z).all()
