@@ -37,9 +37,9 @@ def main():
 
     @jax.jit
     def fwd_sum(x):
-        # the production fast path: exact phase-space/overlapped-conv rewrites of the
-        # module forward (parity locked by tests/test_fast_infer.py); scalar checksum
-        # forces completion when read back on the host
+        # the production predict path: DepthPredictor routes depth4-family inference
+        # through this same fast forward (tests/test_fast_infer.py locks parity and
+        # the predictor wiring); scalar checksum forces completion on host readback
         return jnp.sum(fast_depth_forward(variables, x)[0])
 
     # self-check: the fast path must agree with the module forward (bf16 noise only)

@@ -67,6 +67,7 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
 
     done = set()
+    retries = {}  # path -> failed decode attempts (partially-written frames)
     batches = 0
     print(f"watching {args.watch_dir} (poll {args.poll_s}s)", flush=True)
     while True:
@@ -78,9 +79,25 @@ def main(argv=None):
             time.sleep(args.poll_s)
             continue
         t0 = time.time()
-        frames = np.stack([_load_frame(f, args.height, args.width) for f in fresh])
+        frames, served = [], []
+        for f in fresh:
+            try:
+                frames.append(_load_frame(f, args.height, args.width))
+                served.append(f)
+            except Exception as e:
+                # A partially-written or corrupt frame must not kill the batch or
+                # the service loop: retry it next poll (the writer may still be
+                # flushing), then blacklist it.
+                retries[f] = retries.get(f, 0) + 1
+                if retries[f] >= 2:
+                    done.add(f)
+                    print(f"skipping unreadable frame {f}: {e}", flush=True)
+        if not served:
+            time.sleep(args.poll_s)
+            continue
+        frames = np.stack(frames)
         zs = pred.predict_array(frames)
-        for path, z in zip(fresh, zs):
+        for path, z in zip(served, zs):
             z = _postprocess(z, args.out_height, args.out_width,
                              bilateral=not args.no_bilateral)
             z.tofile(os.path.join(
@@ -88,8 +105,8 @@ def main(argv=None):
             done.add(path)
         dt = time.time() - t0
         batches += 1
-        print(f"served {len(fresh)} frames in {dt:.3f}s "
-              f"({len(fresh)/dt:.1f} fps end-to-end)", flush=True)
+        print(f"served {len(served)} frames in {dt:.3f}s "
+              f"({len(served)/dt:.1f} fps end-to-end)", flush=True)
         if args.max_batches and batches >= args.max_batches:
             break
     return len(done)

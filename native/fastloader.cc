@@ -52,6 +52,10 @@ bool decode_jpeg(const std::string& path, ImageF32* out) {
   if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErrJmp jerr;
+  // Constructed BEFORE setjmp: the longjmp recovery path then never jumps over a
+  // live non-trivially-destructible object (UB + per-corrupt-frame leak otherwise);
+  // its destructor runs on the normal `return false` exit.
+  std::vector<unsigned char> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_longjmp;
   jpeg_create_decompress(&cinfo);
@@ -72,7 +76,7 @@ bool decode_jpeg(const std::string& path, ImageF32* out) {
   out->w = cinfo.output_width;
   out->c = 3;
   out->data.resize(size_t(out->h) * out->w * 3);
-  std::vector<unsigned char> row(size_t(out->w) * 3);
+  row.resize(size_t(out->w) * 3);
   unsigned char* rowp = row.data();
   for (int y = 0; y < out->h; ++y) {
     jpeg_read_scanlines(&cinfo, &rowp, 1);

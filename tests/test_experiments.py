@@ -47,6 +47,24 @@ def test_on_demon_cli(demon_root, tmp_path):
     assert np.isfinite(last["total"])
 
 
+def test_on_demon_cli_streams_v1_archives(tmp_path):
+    """--demon_v1 trains directly off a classic-layout archive (no conversion pass)."""
+    from tf_depth_estimation_tpu.data.demon_v1 import write_demon_v1_h5
+    from tf_depth_estimation_tpu.train.experiments import on_demon
+
+    root = tmp_path / "v1data"
+    root.mkdir()
+    write_demon_v1_h5(str(root / "scenes11_train.h5"), num_scenes=4, H=32, W=64)
+    state, last = on_demon.main([
+        "--dataset_dir", str(root), "--checkpoint_dir", str(tmp_path / "ck"),
+        "--image_height", "32", "--image_width", "64", "--batch_size", "2",
+        "--max_steps", "2", "--summary_freq", "1", "--save_latest_freq", "2",
+        "--dtype", "float32", "--demon_v1",
+    ])
+    assert int(state.step) == 2
+    assert np.isfinite(last["total"])
+
+
 def test_split_training_cli_both_phases(demon_root, tmp_path):
     from tf_depth_estimation_tpu.train.experiments import split_training
 

@@ -15,12 +15,15 @@ semantics (reader_params, ``Demon_Data_loader.py:52-66``):
   intrinsics (the ``prepare_ground_truth_tensors`` + pyramid port,
   ``Demon_Data_loader.py:101-138``).
 
-On-disk schema (documented divergence): the original DeMoN archives store webp-compressed
-frames in a nested v1 layout we cannot redistribute; this reader uses a flat group schema
-— each HDF5 group holds ``image_pair`` (uint8 [H, W, 6]), ``depth`` (float32 [H, W],
-metric), ``motion`` (float32 [6]), ``intrinsics`` (float32 [4], normalized fx fy cx cy).
-``tf_depth_estimation_tpu.data.synthetic.write_demon_h5`` emits it, and a converter from
-the classic layout is a straightforward host-side script.
+On-disk schema: this reader consumes a flat group schema — each HDF5 group holds
+``image_pair`` (uint8 [H, W, 6]), ``depth`` (float32 [H, W], metric), ``motion``
+(float32 [6]), ``intrinsics`` (float32 [4], normalized fx fy cx cy).
+``tf_depth_estimation_tpu.data.synthetic.write_demon_h5`` emits it.  The *classic*
+DeMoN v1 archives (sun3d/rgbd/mvs/scenes11 as released) are consumable two ways:
+streamed in place by ``data.demon_v1.DemonV1Dataset`` (a drop-in subclass — the
+reference streams v1 natively, ``Demon_Data_loader.py:69-79``), or rewritten once to
+the flat schema with the offline converter ``python -m
+tf_depth_estimation_tpu.data.demon_v1 SRC.h5 -o OUT.h5``.
 """
 from __future__ import annotations
 
@@ -88,7 +91,7 @@ class DemonDataset:
             f = h5py.File(path, "r")
             fi = len(self._files)
             self._files.append(f)
-            keys = sorted(f.keys())
+            keys = self._enumerate_keys(f)
             if not keys:
                 continue
             self._keys.extend((fi, k) for k in keys)
@@ -106,6 +109,11 @@ class DemonDataset:
         # pool draws mutate shared state; StreamLoader workers call sample()
         # concurrently (single-writer-per-slot via this lock)
         self._pool_lock = threading.Lock()
+
+    @staticmethod
+    def _enumerate_keys(h5file) -> List[str]:
+        """Sample group names in one archive (hook for layout subclasses)."""
+        return sorted(h5file.keys())
 
     def __len__(self):
         return len(self._keys)

@@ -2,10 +2,15 @@
 
 The reference trains on the released DeMoN archives (sun3d/rgbd/mvs/scenes11 —
 ``/root/reference/Demon_Data_loader.py:69-79``) through the C++
-``multi_vi_h5_data_reader``.  This framework's streaming reader (``data/demon.py``)
-consumes a flat single-group-per-sample schema instead; this module is the host-side
-bridge: it converts classic v1 archives into the flat schema once, offline, so real
-DeMoN datasets are consumable (VERDICT r1 missing #2).
+``multi_vi_h5_data_reader``.  This module makes those classic v1 archives consumable
+two ways:
+
+- ``DemonV1Dataset`` — stream the v1 layout **in place** (a ``DemonDataset`` subclass;
+  select with ``--demon_v1`` on the DeMoN CLIs), matching the reference's direct
+  streaming;
+- ``convert_demon_v1`` — a one-time offline rewrite into the flat schema
+  ``data/demon.py`` reads, for users who prefer the simpler layout (decode cost paid
+  once instead of per epoch).
 
 v1 layout handled (the layout of DeMoN's ``view_io``-written training archives; the
 synthetic fixture writer below is the executable contract used by the tests):
@@ -37,7 +42,11 @@ from typing import Iterable, Tuple
 
 import numpy as np
 
-from tf_depth_estimation_tpu.data.demon import _matrix_to_rotvec_np, _rotvec_to_matrix_np
+from tf_depth_estimation_tpu.data.demon import (
+    DemonDataset,
+    _matrix_to_rotvec_np,
+    _rotvec_to_matrix_np,
+)
 
 
 # -------------------------------------------------------------------------------
@@ -71,34 +80,48 @@ def _read_camera(view) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     return np.array([K[0, 0], K[1, 1], K[0, 2], K[1, 2]]), R, t
 
 
+def is_v1_sample(g) -> bool:
+    """True if an HDF5 group holds a complete v1 sample (two views + v0 depth)."""
+    try:
+        t0 = g["frames/t0"]
+    except (KeyError, TypeError, ValueError, AttributeError):  # stray datasets
+        return False
+    return "v0" in t0 and "v1" in t0 and "depth" in t0["v0"]
+
+
+def parse_v1_sample(g) -> dict:
+    """One v1 sample group -> flat record (image_pair/depth/motion/intrinsics).
+
+    Shared by the offline converter and the in-place ``DemonV1Dataset`` streamer.
+    """
+    t0 = g["frames/t0"]
+    v0, v1 = t0["v0"], t0["v1"]
+    img0 = _decode_image(v0["image"])
+    img1 = _decode_image(v1["image"])
+    depth = np.asarray(v0["depth"], dtype=np.float32)
+    if depth.ndim == 1:  # flattened store
+        depth = depth.reshape(img0.shape[0], img0.shape[1])
+    intr0, R0, t0v = _read_camera(v0)
+    _, R1, t1v = _read_camera(v1)
+    # relative motion cam0 -> cam1 under x_cam = R x_world + t
+    R_rel = R1 @ R0.T
+    t_rel = t1v - R_rel @ t0v
+    motion = np.concatenate(
+        [_matrix_to_rotvec_np(R_rel), t_rel]).astype(np.float32)
+    return {
+        "image_pair": np.concatenate([img0, img1], axis=-1),
+        "depth": depth,
+        "motion": motion,
+        "intrinsics": intr0.astype(np.float32),
+    }
+
+
 def iter_v1_samples(h5file) -> Iterable[Tuple[str, dict]]:
     """Yield (name, flat-record) for every valid sample group in a v1 archive."""
     for name in sorted(h5file.keys()):
         g = h5file[name]
-        if "frames" not in g:
-            continue
-        t0 = g["frames/t0"]
-        if "v0" not in t0 or "v1" not in t0:
-            continue
-        v0, v1 = t0["v0"], t0["v1"]
-        img0 = _decode_image(v0["image"])
-        img1 = _decode_image(v1["image"])
-        depth = np.asarray(v0["depth"], dtype=np.float32)
-        if depth.ndim == 1:  # flattened store
-            depth = depth.reshape(img0.shape[0], img0.shape[1])
-        intr0, R0, t0v = _read_camera(v0)
-        _, R1, t1v = _read_camera(v1)
-        # relative motion cam0 -> cam1 under x_cam = R x_world + t
-        R_rel = R1 @ R0.T
-        t_rel = t1v - R_rel @ t0v
-        motion = np.concatenate(
-            [_matrix_to_rotvec_np(R_rel), t_rel]).astype(np.float32)
-        yield name, {
-            "image_pair": np.concatenate([img0, img1], axis=-1),
-            "depth": depth,
-            "motion": motion,
-            "intrinsics": intr0.astype(np.float32),
-        }
+        if is_v1_sample(g):
+            yield name, parse_v1_sample(g)
 
 
 def convert_demon_v1(src_paths, out_path: str, verbose: bool = False) -> int:
@@ -120,6 +143,32 @@ def convert_demon_v1(src_paths, out_path: str, verbose: bool = False) -> int:
                     if verbose and n % 500 == 0:
                         print(f"converted {n} samples...", flush=True)
     return n
+
+
+# -------------------------------------------------------------------------------
+# in-place streaming reader
+# -------------------------------------------------------------------------------
+
+class DemonV1Dataset(DemonDataset):
+    """Stream classic DeMoN v1 archives in place — no offline conversion pass.
+
+    Drop-in subclass of ``DemonDataset`` (same ``sample()`` scene-pool draw, same
+    ``StreamLoader``/``BatchLoader`` compatibility, same preprocessing/augmentation):
+    only sample-group enumeration and raw-record loading change to the nested v1
+    layout, mirroring how the reference consumes the released sun3d/rgbd/mvs/scenes11
+    HDF5s directly (``Demon_Data_loader.py:69-79``).  Decode cost (webp/jpeg bytes)
+    is paid per draw on the host, exactly like the C++ reader's builder threads.
+    """
+
+    @staticmethod
+    def _enumerate_keys(h5file):
+        return [name for name in sorted(h5file.keys())
+                if is_v1_sample(h5file[name])]
+
+    def _load(self, index: int):
+        fi, key = self._keys[index]
+        rec = parse_v1_sample(self._files[fi][key])
+        return rec["image_pair"], rec["depth"], rec["motion"], rec["intrinsics"]
 
 
 # -------------------------------------------------------------------------------

@@ -79,6 +79,11 @@ def fast_depth_forward(
     dec_p = variables["params"]["decoder"]
     dec_s = variables["batch_stats"]["decoder"]
     H, W = image.shape[1:3]
+    if stem != "native" or tail != "native":
+        # phase/overlap stems and tails 2x2-pack pixels twice; odd sizes would
+        # mis-slice with cryptic shape errors deep in ops/phase.py
+        assert H % 4 == 0 and W % 4 == 0, (
+            f"stem={stem!r}/tail={tail!r} require H, W divisible by 4, got {H}x{W}")
     dt = dtype
 
     def cw(tree, name):  # conv kernel, compute dtype

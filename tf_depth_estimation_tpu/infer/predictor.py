@@ -47,6 +47,11 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
     bounding device memory to one in-flight batch regardless of directory size —
     with the accompanying keep sizes; caller concatenates and de-pads.
     """
+    if batch_size % min_chunk != 0:
+        # tail buckets are rounded up to a multiple of min_chunk and clamped to
+        # batch_size; the clamp preserves divisibility only under this invariant
+        raise ValueError(
+            f"batch_size ({batch_size}) must be a multiple of min_chunk ({min_chunk})")
     N = arrays.shape[0]
     outs = []
     i = 0
@@ -87,18 +92,45 @@ class DepthPredictor:
 
     ``num_devices > 1`` shards the batch over a data mesh (params replicated) — the
     multi-chip serving path replacing the reference's per-frame feed_dict loop.
+
+    For depth4-family variants (single BN decoder, sigmoid heads — the BASELINE
+    config-1 checkpoint shape) the forward runs through ``fast_depth_forward``, the
+    MXU-scheduled rewrite graph that ``bench.py`` measures (~10% faster than the
+    module forward at 576x384 b128; parity-locked by tests/test_fast_infer.py).
+    ``use_fast=False`` forces the plain module forward; ``use_fast=None`` (default)
+    auto-selects it whenever the variant and input sizes qualify.
     """
 
     def __init__(self, params, batch_stats=None, *, height: int = 224, width: int = 224,
                  variant: Optional[DispNetVariant] = None, batch_size: int = 32,
-                 dtype=jnp.bfloat16, num_devices: int = 1):
+                 dtype=jnp.bfloat16, num_devices: int = 1,
+                 use_fast: Optional[bool] = None):
         self.height, self.width, self.batch_size = height, width, batch_size
-        self.model = DispNet(variant or DispNetVariant.depth4(), dtype=dtype)
+        v = variant or DispNetVariant.depth4()
+        self.model = DispNet(v, dtype=dtype)
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        fwd = lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
+        fast_ok = (batch_stats is not None and v.use_bn and not v.flow_decoder
+                   and v.head_activation == "sigmoid"
+                   and height % 4 == 0 and width % 4 == 0)
+        if use_fast is None:
+            use_fast = fast_ok
+        elif use_fast and not fast_ok:
+            raise ValueError(
+                "use_fast=True requires a BN single-decoder sigmoid-head variant "
+                "with batch_stats and H, W divisible by 4")
+        self.uses_fast_path = use_fast
+
+        if use_fast:
+            from tf_depth_estimation_tpu.infer.fast import fast_depth_forward
+
+            fwd = lambda x: fast_depth_forward(
+                variables, x, dtype=dtype, disp_scaling=v.disp_scaling,
+                min_disp=v.min_disp)[0][..., 0]
+        else:
+            fwd = lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
         if num_devices > 1:
             from tf_depth_estimation_tpu.parallel import batch_sharding, make_mesh
 

@@ -40,6 +40,10 @@ def base_parser(description: str, **defaults) -> argparse.ArgumentParser:
     p.add_argument("--num_epochs", type=int, default=1500)
     p.add_argument("--native_loader", action="store_true",
                    help="decode JPEG/depth through the C++ loader (make -C native)")
+    p.add_argument("--demon_v1", action="store_true",
+                   help="stream classic DeMoN v1 HDF5 archives in place "
+                        "(sun3d/rgbd/mvs/scenes11 as released) instead of the "
+                        "flat schema")
     p.add_argument("--tensorboard", action="store_true",
                    help="mirror metrics to TB event files under <checkpoint_dir>/sum")
     p.add_argument("--rich_summaries", action="store_true",
@@ -87,7 +91,12 @@ def demon_loader(args, height: int, width: int, test_phase: bool = False):
     """
     params = DemonReaderParams(batch_size=args.batch_size, scaled_height=height,
                                scaled_width=width, test_phase=test_phase)
-    ds = DemonDataset(demon_sources(args.dataset_dir), params, seed=args.seed)
+    cls = DemonDataset
+    if getattr(args, "demon_v1", False):
+        from tf_depth_estimation_tpu.data.demon_v1 import DemonV1Dataset
+
+        cls = DemonV1Dataset
+    ds = cls(demon_sources(args.dataset_dir), params, seed=args.seed)
     if test_phase:
         loader = BatchLoader(ds, args.batch_size, seed=args.seed, num_epochs=None,
                              shuffle=False)
