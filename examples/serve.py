@@ -10,6 +10,17 @@ ROADMAP "Input-side throughput").
 
     python examples/serve.py --watch_dir ./incoming --output_dir ./out \
         --checkpoint_dir ./ck [--poll_s 0.5] [--max_batches N]
+
+Pre-decoded array mode (``--array_mode``): the watcher consumes ``*.npy`` frame
+*blocks* (uint8 or float32 ``[N, H, W, 3]``, written atomically: ``name.npy.tmp``
+then rename) instead of JPEGs, mmap-reads them (no decode, no copy until the device
+transfer), and writes one ``<name>_z.npy`` float32 ``[N, H, W]`` depth block each.
+This is the input path that can feed the device rate on a 1-core host: an external
+producer (camera ingest, a decode fleet, a previous pipeline stage) owns decoding,
+and this process only moves bytes to HBM.  JPEG decode caps a single core at ~10^2
+frames/s; the array path is bounded by HBM transfer instead (measured numbers in
+ROADMAP "Input-side throughput").  Replaces the reference's per-frame feed_dict
+loop (``batch_prediction.py:57-77``) at serving scale.
 """
 from __future__ import annotations
 
@@ -34,6 +45,11 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=0,
                    help="stop after N non-empty batches (0 = run forever)")
     p.add_argument("--no_bilateral", action="store_true")
+    p.add_argument("--array_mode", action="store_true",
+                   help="consume pre-decoded *.npy frame blocks [N, H, W, 3] "
+                        "(uint8 0..255 or float32) instead of *.jpg; write "
+                        "<name>_z.npy float32 [N, H, W] depth blocks (no cv2 "
+                        "post-process — the consumer owns resolution)")
     args = p.parse_args(argv)
 
     import jax
@@ -65,6 +81,9 @@ def main(argv=None):
     pred = DepthPredictor(params, stats, height=args.height, width=args.width,
                           batch_size=args.batch_size)
     os.makedirs(args.output_dir, exist_ok=True)
+
+    if args.array_mode:
+        return _serve_arrays(args, pred, np)
 
     done = set()
     retries = {}  # path -> failed decode attempts (partially-written frames)
@@ -110,6 +129,67 @@ def main(argv=None):
         if args.max_batches and batches >= args.max_batches:
             break
     return len(done)
+
+
+def _serve_arrays(args, pred, np):
+    """Pre-decoded block loop: mmap *.npy in, depth *.npy out (atomic rename).
+
+    No decode, no per-frame cv2 — host cost is one dtype cast per block (uint8
+    blocks are fed as raw 0..255 float, matching ``_load_frame``'s no-/255
+    contract), so throughput is bounded by the host->HBM transfer and the device
+    forward instead of a single-core JPEG decoder.
+    """
+    import time
+    from glob import glob
+
+    done, retries = set(), {}
+    frames_served = batches = 0
+    print(f"watching {args.watch_dir} for *.npy blocks (poll {args.poll_s}s)",
+          flush=True)
+    while True:
+        fresh = [f for f in sorted(glob(os.path.join(args.watch_dir, "*.npy")))
+                 if f not in done and not f.endswith("_z.npy")]
+        if not fresh:
+            if args.max_batches and batches >= args.max_batches:
+                break
+            time.sleep(args.poll_s)
+            continue
+        for f in fresh:
+            t0 = time.time()
+            try:
+                block = np.load(f, mmap_mode="r")
+                if block.ndim != 4 or block.shape[1:] != (args.height, args.width, 3):
+                    raise ValueError(f"expected [N, {args.height}, {args.width}, 3], "
+                                     f"got {block.shape}")
+                # uint8 blocks go to the device as-is (4x less transfer, converted
+                # on-chip); the mmap pages feed jnp.asarray without a host copy
+                frames = block if block.dtype == np.uint8 \
+                    else np.asarray(block, dtype=np.float32)
+            except Exception as e:
+                # a block mid-write or with the wrong shape must not kill the
+                # service: retry once next poll, then blacklist
+                retries[f] = retries.get(f, 0) + 1
+                if retries[f] >= 2:
+                    done.add(f)
+                    print(f"skipping unreadable block {f}: {e}", flush=True)
+                continue
+            zs = pred.predict_array(frames)
+            out = os.path.join(
+                args.output_dir,
+                os.path.basename(f)[: -len(".npy")] + "_z.npy")
+            np.save(out + ".tmp.npy", zs.astype(np.float32))
+            os.replace(out + ".tmp.npy", out)
+            done.add(f)
+            frames_served += len(frames)
+            batches += 1
+            dt = time.time() - t0
+            print(f"served block {os.path.basename(f)}: {len(frames)} frames in "
+                  f"{dt:.3f}s ({len(frames)/dt:.1f} fps end-to-end)", flush=True)
+            if args.max_batches and batches >= args.max_batches:
+                return frames_served
+        if args.max_batches and batches >= args.max_batches:
+            break
+    return frames_served
 
 
 if __name__ == "__main__":

@@ -57,3 +57,27 @@ def test_serve_loop_processes_frames(frames, tmp_path):
     assert len(written) == 2
     z = np.fromfile(written[0], np.float32)
     assert z.size == 48 * 96 and np.isfinite(z).all()
+
+
+def test_serve_array_mode_blocks(tmp_path):
+    """--array_mode consumes pre-decoded uint8 .npy blocks and writes _z.npy depth
+    blocks; corrupt/misshapen blocks are retried then blacklisted, not fatal."""
+    import serve
+
+    watch = tmp_path / "blocks"
+    out = tmp_path / "served"
+    watch.mkdir()
+    rng = np.random.RandomState(0)
+    np.save(str(watch / "block0.npy"),
+            (rng.rand(3, 32, 64, 3) * 255).astype(np.uint8))
+    np.save(str(watch / "badshape.npy"), np.zeros((2, 8, 8, 3), np.uint8))
+    with open(str(watch / "corrupt.npy"), "wb") as f:
+        f.write(b"\x00" * 16)
+
+    n = serve.main(["--watch_dir", str(watch), "--output_dir", str(out),
+                    "--height", "32", "--width", "64", "--batch_size", "4",
+                    "--max_batches", "1", "--poll_s", "0.01", "--array_mode"])
+    assert n == 3
+    z = np.load(str(out / "block0_z.npy"))
+    assert z.shape == (3, 32, 64) and z.dtype == np.float32
+    assert np.isfinite(z).all()

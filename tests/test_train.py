@@ -200,3 +200,28 @@ def test_remat_step_matches_plain():
     b = jax.tree_util.tree_leaves(s2.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.array(x), np.array(y), atol=1e-6)
+
+
+def test_train_bench_regression_guard():
+    """bench_train.py's artifact comparison flags drops, missing configs, and the
+    config-4 Pallas-sampler win (a 24% step-time loss trips the 20% tolerance)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_train", os.path.join(os.path.dirname(__file__), "..", "bench_train.py"))
+    bench_train = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench_train)
+
+    base = [{"metric": "a", "value": 10.0}, {"metric": "b", "value": 7.0}]
+    ok = [{"metric": "a", "value": 9.0}, {"metric": "b", "value": 7.1}]
+    assert bench_train.compare_to_baseline(ok, base) == []
+
+    # config-4-style regression: Pallas sampler win lost (144.1 -> 188.9 ms/step
+    # is 6.9 -> 5.3 steps/s, a 24% drop)
+    bad = [{"metric": "a", "value": 10.0}, {"metric": "b", "value": 5.3}]
+    fails = bench_train.compare_to_baseline(bad, base)
+    assert len(fails) == 1 and "b" in fails[0]
+
+    missing = [{"metric": "a", "value": 10.0}]
+    fails = bench_train.compare_to_baseline(missing, base)
+    assert len(fails) == 1 and "missing" in fails[0]

@@ -44,8 +44,14 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
     of distinct compiled shapes bounded by log2(batch_size).
 
     Returns the list of per-chunk outputs pulled to the host as they complete —
-    bounding device memory to one in-flight batch regardless of directory size —
+    bounding device memory to two in-flight batches regardless of directory size —
     with the accompanying keep sizes; caller concatenates and de-pads.
+
+    Double-buffered: chunk i+1 is enqueued (host->HBM transfer + forward, both
+    async under jax dispatch) BEFORE chunk i's result is pulled to the host, so the
+    device never idles during host readback.  The reference's per-frame
+    ``sess.run(feed_dict)`` loop (``batch_prediction.py:69``) serializes exactly
+    this overlap away.
     """
     if batch_size % min_chunk != 0:
         # tail buckets are rounded up to a multiple of min_chunk and clamped to
@@ -53,26 +59,36 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
         raise ValueError(
             f"batch_size ({batch_size}) must be a multiple of min_chunk ({min_chunk})")
     N = arrays.shape[0]
+
+    def chunks():
+        i = 0
+        while i < N:
+            n = min(batch_size, N - i)
+            if n == batch_size:
+                chunk, keep = arrays[i : i + batch_size], batch_size
+            else:
+                bucket = max(min_chunk, 1 << (n - 1).bit_length())  # next pow2 >= n
+                # sharded predictors pass min_chunk=num_devices: keep the padded
+                # bucket divisible so in_shardings can split axis 0
+                bucket = -(-bucket // min_chunk) * min_chunk
+                bucket = min(bucket, batch_size)
+                chunk = arrays[i : i + n]
+                if bucket != n:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)], 0)
+                keep = n
+            yield chunk, keep
+            i += keep
+
     outs = []
-    i = 0
-    while i < N:
-        n = min(batch_size, N - i)
-        if n == batch_size:
-            chunk, keep = arrays[i : i + batch_size], batch_size
-        else:
-            bucket = max(min_chunk, 1 << (n - 1).bit_length())  # next pow2 >= n
-            # sharded predictors pass min_chunk=num_devices: keep the padded
-            # bucket divisible so in_shardings can split axis 0
-            bucket = -(-bucket // min_chunk) * min_chunk
-            bucket = min(bucket, batch_size)
-            chunk = arrays[i : i + n]
-            if bucket != n:
-                chunk = np.concatenate(
-                    [chunk, np.zeros((bucket - n, *chunk.shape[1:]), chunk.dtype)], 0)
-            keep = n
-        out = fwd(jnp.asarray(chunk))
-        outs.append((jax.tree.map(np.asarray, out), keep))
-        i += keep
+    pending = None  # (device_out, keep) enqueued but not yet pulled
+    for chunk, keep in chunks():
+        out = fwd(jnp.asarray(chunk))  # async: enqueue before pulling the previous
+        if pending is not None:
+            outs.append((jax.tree.map(np.asarray, pending[0]), pending[1]))
+        pending = (out, keep)
+    if pending is not None:
+        outs.append((jax.tree.map(np.asarray, pending[0]), pending[1]))
     return outs
 
 
@@ -123,14 +139,21 @@ class DepthPredictor:
                 "with batch_stats and H, W divisible by 4")
         self.uses_fast_path = use_fast
 
+        def as_float(x):
+            # uint8 frames (the serving-native dtype: 1/4 the host->HBM transfer;
+            # 0..255 is exact in bf16) are converted on device; float inputs pass
+            # through untouched to keep the parity-tested numerics byte-identical
+            return x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.integer) else x
+
         if use_fast:
             from tf_depth_estimation_tpu.infer.fast import fast_depth_forward
 
             fwd = lambda x: fast_depth_forward(
-                variables, x, dtype=dtype, disp_scaling=v.disp_scaling,
+                variables, as_float(x), dtype=dtype, disp_scaling=v.disp_scaling,
                 min_disp=v.min_disp)[0][..., 0]
         else:
-            fwd = lambda x: self.model.apply(variables, x, train=False)[0][..., 0]
+            fwd = lambda x: self.model.apply(
+                variables, as_float(x), train=False)[0][..., 0]
         if num_devices > 1:
             from tf_depth_estimation_tpu.parallel import batch_sharding, make_mesh
 
@@ -144,7 +167,8 @@ class DepthPredictor:
         self._min_chunk = num_devices  # tail buckets must stay shardable
 
     def predict_array(self, frames: np.ndarray) -> np.ndarray:
-        """[N, H, W, 3] float32 -> [N, H, W] disparity (pow2-bucketed ragged tail)."""
+        """[N, H, W, 3] float32 or uint8 -> [N, H, W] disparity (pow2-bucketed ragged
+        tail; uint8 frames transfer 4x less and are converted on device)."""
         outs = _batched_apply(self._fwd, frames, self.batch_size, self._min_chunk)
         return np.concatenate([np.asarray(z)[:keep] for z, keep in outs], axis=0)
 

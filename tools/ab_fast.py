@@ -50,6 +50,10 @@ def main():
         "pallas0": dict(stem="native", deconv="native", tail="pallas"),
         "hybrid": dict(stem="hybrid", deconv="native", tail="overlap"),
         "bestdp": dict(stem="overlap", deconv="phase", tail="overlap"),
+        "midov": dict(stem="overlap", deconv="native", mid="overlap", tail="overlap"),
+        "midph": dict(stem="overlap", deconv="native", mid="phase", tail="overlap"),
+        "midov_tn": dict(stem="overlap", deconv="native", mid="overlap", tail="native"),
+        "midph_tph": dict(stem="overlap", deconv="native", mid="phase", tail="phase"),
     }
     for name in which:
         flags = combos[name]
