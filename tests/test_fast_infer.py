@@ -37,6 +37,20 @@ def test_fast_forward_matches_apply(setup, stem, deconv, tail):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.parametrize("mid", ["overlap", "phase"])
+@pytest.mark.parametrize("stem", ["native", "overlap"])
+def test_fast_forward_mid_modes(setup, stem, mid):
+    """The packed icnv2/disp2/upcnv2 mid-block rewrites are exact (both with a packed
+    cnv1b skip from the overlap stem and with the space_to_depth fallback)."""
+    _, variables, x, ref = setup
+    got = fast_depth_forward(
+        variables, x, dtype=jnp.float32, stem=stem, mid=mid)
+    assert len(got) == len(ref) == 4
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4)
+
+
 def test_predictor_uses_fast_path(setup):
     """DepthPredictor auto-routes depth4-family inference through the fast path
     (VERDICT r2 weak #2: the benched graph IS the production predict path)."""
@@ -64,6 +78,22 @@ def test_predictor_uses_fast_path(setup):
     with pytest.raises(ValueError):
         DepthPredictor(variables["params"], None, height=32, width=48,
                        batch_size=2, dtype=jnp.float32, use_fast=True)
+
+
+def test_predictor_uint8_frames_match_float(setup):
+    """uint8 frames (serving-native staging: 4x less host->HBM transfer) give
+    bit-comparable results to the same integral frames fed as float32."""
+    from tf_depth_estimation_tpu.infer.predictor import DepthPredictor
+
+    _, variables, _, _ = setup
+    rng = np.random.RandomState(1)
+    u8 = (rng.rand(3, 32, 48, 3) * 255).astype(np.uint8)
+    pred = DepthPredictor(
+        variables["params"], variables["batch_stats"], height=32, width=48,
+        batch_size=2, dtype=jnp.float32)
+    np.testing.assert_allclose(
+        pred.predict_array(u8), pred.predict_array(u8.astype(np.float32)),
+        rtol=1e-6, atol=1e-6)
 
 
 def test_fast_forward_bf16_close(setup):

@@ -16,8 +16,15 @@ The other modes (aligned-phase stem/tail, phase deconvs, hybrid packed-cnv2b ste
 Pallas fused tail) are kept as measured alternatives — every one is exact and
 parity-tested, and every one measured slower whole-graph (see ROADMAP).
 
-Batch-norm is folded to its eval-mode affine (slim ``scale=False``: y = x*rsqrt(var+eps)
-+ (bias - mean*rsqrt(var+eps))).  All rewrites are bit-exact up to float reassociation —
+Batch-norm is folded INTO THE WEIGHTS: eval-mode slim ``scale=False`` BN is
+y = x*rsqrt(var+eps) + (bias - mean*rsqrt(var+eps)); the multiplicative part is
+applied to the conv kernel's output channels at trace time (pure constant math —
+XLA folds it at compile time), leaving only a shift that fuses into the conv
+epilogue.  This matters beyond saving one multiply: with *realistic* (non-init)
+running stats the per-channel affine constants are non-splat vectors, and XLA
+compiles the unfolded graph ~24% slower (48.0 vs 38.8 ms/batch at 576x384 b128 —
+measured, tools/probe layout study round 3); weight folding makes the compiled
+graph value-independent.  All rewrites are bit-exact up to float reassociation —
 locked against ``DispNet.apply`` by ``tests/test_fast_infer.py``.
 """
 from __future__ import annotations
@@ -34,6 +41,7 @@ from tf_depth_estimation_tpu.ops.phase import (
     conv_s2_from_phase,
     deconv3x3_s2_phase,
     depth_to_space,
+    space_to_depth,
     stem_conv_s2_phase,
 )
 from tf_depth_estimation_tpu.ops.resize import resize_bilinear, resize_like
@@ -59,6 +67,7 @@ def fast_depth_forward(
     dtype=jnp.bfloat16,
     stem: str = "overlap",
     deconv: str = "native",
+    mid: str = "native",
     tail: str = "overlap",
     disp_scaling: float = 4.0,
     min_disp: float = 0.0,
@@ -72,31 +81,42 @@ def fast_depth_forward(
     """
     assert stem in ("native", "phase", "overlap", "hybrid"), stem
     assert deconv in ("native", "phase"), deconv
+    assert mid in ("native", "overlap", "phase"), mid
     assert tail in ("native", "phase", "overlap", "pallas"), tail
-    deconv_mode, tail_mode = deconv, tail
+    deconv_mode, mid_mode, tail_mode = deconv, mid, tail
     enc_p = variables["params"]["encoder"]
     enc_s = variables["batch_stats"]["encoder"]
     dec_p = variables["params"]["decoder"]
     dec_s = variables["batch_stats"]["decoder"]
     H, W = image.shape[1:3]
-    if stem != "native" or tail != "native":
+    if stem != "native" or tail != "native" or mid != "native":
         # phase/overlap stems and tails 2x2-pack pixels twice; odd sizes would
         # mis-slice with cryptic shape errors deep in ops/phase.py
         assert H % 4 == 0 and W % 4 == 0, (
             f"stem={stem!r}/tail={tail!r} require H, W divisible by 4, got {H}x{W}")
     dt = dtype
 
-    def cw(tree, name):  # conv kernel, compute dtype
+    def cw(tree, name):  # raw conv kernel (disp heads: bias, no BN), compute dtype
         return tree[name]["Conv_0"]["kernel"].astype(dt)
 
-    def dw(name):  # deconv kernel (TF transpose layout)
-        return dec_p[name]["TFConvTranspose_0"]["kernel"].astype(dt)
+    def enc_w(name):  # encoder conv kernel with the BN scale folded in (HWIO: O last)
+        s, _ = _affine(enc_p, enc_s, name)
+        return (enc_p[name]["Conv_0"]["kernel"] * s).astype(dt)
+
+    def dec_w(name):  # decoder iconv kernel, BN scale folded
+        s, _ = _affine(dec_p, dec_s, name)
+        return (dec_p[name]["Conv_0"]["kernel"] * s).astype(dt)
+
+    def dw(name):  # deconv kernel (TF transpose layout [kh, kw, O, I]), scale folded
+        s, _ = _affine(dec_p, dec_s, name)
+        return (dec_p[name]["TFConvTranspose_0"]["kernel"] * s[:, None]).astype(dt)
 
     def aff(x, params, stats, name, tiled=False):
-        s, t = _affine(params, stats, name)
+        # shift-only: the BN scale already lives in the kernel (enc_w/dec_w/dw)
+        _, t = _affine(params, stats, name)
         if tiled:
-            s, t = _tile4(s), _tile4(t)
-        return jax.nn.relu(x * s.astype(dt) + t.astype(dt))
+            t = _tile4(t)
+        return jax.nn.relu(x + t.astype(dt))
 
     def conv(x, w, stride=1):
         return jax.lax.conv_general_dilated(
@@ -114,11 +134,11 @@ def fast_depth_forward(
     if stem in ("phase", "overlap", "hybrid"):
         if stem == "phase":
             # cnv1 + cnv1b both on aligned phase cells (2.04x FLOPs for cnv1b)
-            c1_ph = stem_conv_s2_phase(x, cw(enc_p, "cnv1"))
+            c1_ph = stem_conv_s2_phase(x, enc_w("cnv1"))
             c1_ph = aff(c1_ph, enc_p, enc_s, "cnv1", tiled=True)
             if stop_at == "cnv1":
                 return [c1_ph]
-            c1b_ph = conv_s1_phase(c1_ph, cw(enc_p, "cnv1b"))
+            c1b_ph = conv_s1_phase(c1_ph, enc_w("cnv1b"))
         elif stem == "hybrid":
             # like "overlap", plus cnv2b in overlapped form (below).  A phase-packed
             # cnv1 was measured at parity with the native conv (5.08 vs 5.02 ms —
@@ -126,22 +146,22 @@ def fast_depth_forward(
             # cnv2b's overlapped form needs the post-cnv2 tensor (H/4, W/4) even:
             assert H % 8 == 0 and W % 8 == 0, (
                 f"hybrid stem needs H, W divisible by 8, got {H}x{W}")
-            c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
+            c1 = aff(conv(x, enc_w("cnv1"), 2), enc_p, enc_s, "cnv1")
             if stop_at == "cnv1":
                 return [c1]
-            c1b_ph = conv_s1_overlapped(c1, cw(enc_p, "cnv1b"))
+            c1b_ph = conv_s1_overlapped(c1, enc_w("cnv1b"))
         else:
             # cnv1 native (direct layout), cnv1b as an overlapped 8x8/s2 conv
             # (1.31x FLOPs, K=2048/N=128 vs the native K=1568/N=32 lowering)
-            c1 = aff(conv(x, cw(enc_p, "cnv1"), 2), enc_p, enc_s, "cnv1")
+            c1 = aff(conv(x, enc_w("cnv1"), 2), enc_p, enc_s, "cnv1")
             if stop_at == "cnv1":
                 return [c1]
-            c1b_ph = conv_s1_overlapped(c1, cw(enc_p, "cnv1b"))
+            c1b_ph = conv_s1_overlapped(c1, enc_w("cnv1b"))
         c1b_ph = aff(c1b_ph, enc_p, enc_s, "cnv1b", tiled=True)
         skips.append(("phase", c1b_ph))
         if stop_at == "cnv1b":
             return [c1b_ph]
-        x = conv_s2_from_phase(c1b_ph, cw(enc_p, "cnv2"), (H // 2, W // 2))
+        x = conv_s2_from_phase(c1b_ph, enc_w("cnv2"), (H // 2, W // 2))
         x = aff(x, enc_p, enc_s, "cnv2")
         if stop_at == "cnv2":
             return [x, c1b_ph]
@@ -149,11 +169,11 @@ def fast_depth_forward(
             # cnv2b overlapped (N 64 -> 256 packed: full MXU lanes, 2.9 vs 4.6 ms
             # measured), unpacked immediately — a packed skip and a from-phase cnv3
             # were both measured slower (layout-propagation costs downstream)
-            c2b_ph = conv_s1_overlapped(x, cw(enc_p, "cnv2b"))
+            c2b_ph = conv_s1_overlapped(x, enc_w("cnv2b"))
             c2b_ph = aff(c2b_ph, enc_p, enc_s, "cnv2b", tiled=True)
             x = depth_to_space(c2b_ph)
         else:
-            x = conv(x, cw(enc_p, "cnv2b"))
+            x = conv(x, enc_w("cnv2b"))
             x = aff(x, enc_p, enc_s, "cnv2b")
         skips.append(("full", x))
         start = 3
@@ -166,8 +186,8 @@ def fast_depth_forward(
     for i in range(start, 8):
         x = enc_block(
             x, i,
-            lambda y, i=i: conv(y, cw(enc_p, f"cnv{i}"), 2),
-            lambda y, i=i: conv(y, cw(enc_p, f"cnv{i}b"), 1),
+            lambda y, i=i: conv(y, enc_w(f"cnv{i}"), 2),
+            lambda y, i=i: conv(y, enc_w(f"cnv{i}b"), 1),
         )
         skips.append(("full", x))
     if stop_at == "encoder":
@@ -187,7 +207,7 @@ def fast_depth_forward(
         return aff(y, dec_p, dec_s, name)
 
     def iconv(x, name):
-        return aff(conv(x, cw(dec_p, name)), dec_p, dec_s, name)
+        return aff(conv(x, dec_w(name)), dec_p, dec_s, name)
 
     def head(x, name):
         w = cw(dec_p, name)
@@ -215,14 +235,47 @@ def fast_depth_forward(
     x = resize_like(x, skip_full(1))
     x = iconv(cat([x, skip_full(1), d4u.astype(dt)]), "icnv3")
     d3 = head(x, "disp3")
-    d3u = resize_bilinear(d3, (H // 2, W // 2))
     if stop_at == "d3":
         return [d3, d4]
-    x = deconv(x, "upcnv2")
-    c1 = skip_full(0)
-    x = resize_like(x, c1)
-    x2 = iconv(cat([x, c1, d3u.astype(dt)]), "icnv2")
-    d2 = head(x2, "disp2")
+
+    def head_phase(y_ph, name):
+        d_ph = conv_s1_phase(y_ph, cw(dec_p, name))
+        d_ph = d_ph + dec_p[name]["Conv_0"]["bias"].astype(dt)
+        return (disp_scaling * jax.nn.sigmoid(d_ph) + min_disp).astype(jnp.float32)
+
+    if mid_mode == "native":
+        d3u = resize_bilinear(d3, (H // 2, W // 2))
+        x = deconv(x, "upcnv2")
+        c1 = skip_full(0)
+        x = resize_like(x, c1)
+        x2 = iconv(cat([x, c1, d3u.astype(dt)]), "icnv2")
+        d2 = head(x2, "disp2")
+    elif mid_mode == "overlap":
+        # icnv2 as an overlapped 4x4/s2 conv (N 32 -> 128 packed: full MXU lanes
+        # instead of 4x pad waste) and disp2 from the packed tensor; upcnv2 and the
+        # 65-ch concat stay at H/2 x W/2.
+        d3u = resize_bilinear(d3, (H // 2, W // 2))
+        x = deconv(x, "upcnv2")
+        c1 = skip_full(0)
+        x = resize_like(x, c1)
+        y_ph = conv_s1_overlapped(cat([x, c1, d3u.astype(dt)]), dec_w("icnv2"))
+        y_ph = aff(y_ph, dec_p, dec_s, "icnv2", tiled=True)
+        d2 = depth_to_space(head_phase(y_ph, "disp2"))
+        x2 = depth_to_space(y_ph)
+    else:
+        # fully phase-packed mid block: upcnv2 deconv, the cnv1b skip, the d3
+        # upsample, icnv2, and disp2 all stay 2x2-packed — nothing materializes at
+        # H/2 x W/2 until the unpack feeding the tail.
+        up_ph = deconv3x3_s2_phase(x, dw("upcnv2"), merge=False)
+        up_ph = aff(up_ph, dec_p, dec_s, "upcnv2", tiled=True)
+        kind, c1t = skips[0]
+        c1_ph = c1t if kind == "phase" else space_to_depth(c1t)
+        d3u_ph = bilinear_up2_phase(d3).astype(dt)
+        cat_ph = jnp.concatenate([up_ph, c1_ph, d3u_ph], -1)
+        y_ph = conv_s1_phase(cat_ph, dec_w("icnv2"), group_sizes=(32, 32, 1))
+        y_ph = aff(y_ph, dec_p, dec_s, "icnv2", tiled=True)
+        d2 = depth_to_space(head_phase(y_ph, "disp2"))
+        x2 = depth_to_space(y_ph)
     if stop_at == "d2":
         return [d2, d3, d4]
 
@@ -239,7 +292,7 @@ def fast_depth_forward(
         from tf_depth_estimation_tpu.ops.pallas_tail import (
             fused_tail, prepare_tail_params)
         tp = prepare_tail_params(
-            dw("upcnv1").astype(jnp.float32),
+            dec_p["upcnv1"]["TFConvTranspose_0"]["kernel"].astype(jnp.float32),
             _affine(dec_p, dec_s, "upcnv1"),
             dec_p["icnv1"]["Conv_0"]["kernel"],
             _affine(dec_p, dec_s, "icnv1"),
@@ -257,7 +310,7 @@ def fast_depth_forward(
         x = deconv(x2, "upcnv1")
         if x.shape[1:3] != (H, W):
             x = resize_like(x, d2u)
-        y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), cw(dec_p, "icnv1"))
+        y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), dec_w("icnv1"))
         y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
         d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
         d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
@@ -269,7 +322,7 @@ def fast_depth_forward(
     up1_ph = aff(up1_ph, dec_p, dec_s, "upcnv1", tiled=True)
     d2u_ph = bilinear_up2_phase(d2).astype(dt)                  # [B,H/2,W/2,4]
     cat_ph = jnp.concatenate([up1_ph, d2u_ph], -1)
-    y_ph = conv_s1_phase(cat_ph, cw(dec_p, "icnv1"), group_sizes=(16, 1))
+    y_ph = conv_s1_phase(cat_ph, dec_w("icnv1"), group_sizes=(16, 1))
     y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
     d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
     d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
