@@ -123,6 +123,32 @@ def fast_depth_forward(
             x, w, (stride, stride), "SAME",
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
+    def conv_bias_folded(x, tree_p, tree_s, name, stride):
+        """conv+BN with BOTH affine terms inside the convolution.
+
+        The scale folds into the kernel's output channels; the shift rides an
+        appended ones-input-channel at kernel tap (pad_top, pad_top), which under
+        SAME padding reads input index ``stride*i`` for every output i — always in
+        bounds when H, W are divisible by ``stride`` — so
+        relu(conv([x, 1], [W*s; t@tap])) == relu(conv(x, W*s) + t) exactly.
+
+        This exists because XLA:TPU compiles the plain epilogue add ~11 ms/batch
+        slower when t is a non-splat vector (i.e. for every REAL checkpoint) for
+        the 3-channel stem conv specifically: measured 49.6 -> 39.1 ms/batch at
+        576x384 b128 by moving cnv1's shift into the conv (round-3 probe study;
+        deep encoder / decoder epilogue adds are free).
+        """
+        s, t = _affine(tree_p, tree_s, name)
+        w = tree_p[name]["Conv_0"]["kernel"] * s
+        kh, kw = w.shape[:2]
+        in_h, in_w = x.shape[1:3]
+        tap_h = max((in_h // stride - 1) * stride + kh - in_h, 0) // 2
+        tap_w = max((in_w // stride - 1) * stride + kw - in_w, 0) // 2
+        w_aug = jnp.zeros((kh, kw, w.shape[2] + 1, w.shape[3]), w.dtype)
+        w_aug = w_aug.at[:, :, :-1, :].set(w).at[tap_h, tap_w, -1, :].set(t)
+        x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
+        return jax.nn.relu(conv(x1, w_aug.astype(dt), stride))
+
     def enc_block(x, i, stride2_fn, stride1_fn):
         x = stride2_fn(x)
         x = aff(x, enc_p, enc_s, f"cnv{i}")
@@ -146,14 +172,14 @@ def fast_depth_forward(
             # cnv2b's overlapped form needs the post-cnv2 tensor (H/4, W/4) even:
             assert H % 8 == 0 and W % 8 == 0, (
                 f"hybrid stem needs H, W divisible by 8, got {H}x{W}")
-            c1 = aff(conv(x, enc_w("cnv1"), 2), enc_p, enc_s, "cnv1")
+            c1 = conv_bias_folded(x, enc_p, enc_s, "cnv1", 2)
             if stop_at == "cnv1":
                 return [c1]
             c1b_ph = conv_s1_overlapped(c1, enc_w("cnv1b"))
         else:
             # cnv1 native (direct layout), cnv1b as an overlapped 8x8/s2 conv
             # (1.31x FLOPs, K=2048/N=128 vs the native K=1568/N=32 lowering)
-            c1 = aff(conv(x, enc_w("cnv1"), 2), enc_p, enc_s, "cnv1")
+            c1 = conv_bias_folded(x, enc_p, enc_s, "cnv1", 2)
             if stop_at == "cnv1":
                 return [c1]
             c1b_ph = conv_s1_overlapped(c1, enc_w("cnv1b"))
@@ -161,8 +187,9 @@ def fast_depth_forward(
         skips.append(("phase", c1b_ph))
         if stop_at == "cnv1b":
             return [c1b_ph]
-        x = conv_s2_from_phase(c1b_ph, enc_w("cnv2"), (H // 2, W // 2))
-        x = aff(x, enc_p, enc_s, "cnv2")
+        _, t2 = _affine(enc_p, enc_s, "cnv2")
+        x = jax.nn.relu(conv_s2_from_phase(
+            c1b_ph, enc_w("cnv2"), (H // 2, W // 2), bias=t2))
         if stop_at == "cnv2":
             return [x, c1b_ph]
         if stem == "hybrid":

@@ -260,11 +260,19 @@ def conv_s1_phase(x_ph: jnp.ndarray, w: jnp.ndarray,
     return _conv(x_ph, K, (pad_b, pad_a), (pad_b, pad_a))
 
 
-def conv_s2_from_phase(x_ph: jnp.ndarray, w: jnp.ndarray, full_in_hw) -> jnp.ndarray:
+def conv_s2_from_phase(
+    x_ph: jnp.ndarray, w: jnp.ndarray, full_in_hw, bias=None
+) -> jnp.ndarray:
     """Stride-2 SAME conv whose input arrives phase-packed; output in normal layout.
 
     ``full_in_hw`` is the (even) full-resolution spatial shape the packed input encodes —
     needed because TF SAME padding for stride 2 depends on the true input size.
+
+    ``bias`` (optional, [co]): added to every output INSIDE the convolution, by
+    appending a ones input channel whose kernel tap (pb_h, pb_w) — cell offset 0,
+    which reads output cell y itself, never a padded cell — carries the bias
+    vector.  Exact, and avoids the XLA:TPU epilogue-add fusion break measured for
+    non-splat constants on this conv (see ``infer/fast.py`` ``conv_bias_folded``).
     """
     k = w.shape[0]
     H, W = full_in_hw
@@ -274,6 +282,11 @@ def conv_s2_from_phase(x_ph: jnp.ndarray, w: jnp.ndarray, full_in_hw) -> jnp.nda
     Mh, pb_h, pa_h = _m_s2_from_phase(k, pad_h)
     Mw, pb_w, pa_w = _m_s2_from_phase(k, pad_w)
     K = _phase_kernel(w, Mh, Mw)
+    if bias is not None:
+        Kb = jnp.zeros((K.shape[0], K.shape[1], 1, K.shape[3]), K.dtype)
+        Kb = Kb.at[pb_h, pb_w, 0, :].set(bias.astype(K.dtype))
+        K = jnp.concatenate([K, Kb], axis=2)
+        x_ph = jnp.concatenate([x_ph, jnp.ones_like(x_ph[..., :1])], -1)
     return _conv(x_ph, K, (pb_h, pa_h), (pb_w, pa_w))
 
 
