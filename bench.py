@@ -59,7 +59,11 @@ def main():
         lambda v, x: fast_depth_forward(v, x.astype(jnp.bfloat16))[0]
     )(variables, x0u8), np.float32)
     err = float(np.max(np.abs(got - ref)))
-    assert err < 0.05, f"fast path diverged from module forward: max err {err}"
+    # bf16-vs-bf16 reassociation bound on a [0, 4] output: the fast path folds the
+    # BN shifts into the stem convs' f32 accumulators while the module forward adds
+    # them post-conv in bf16, so the two round differently (f32 parity is locked at
+    # rtol 2e-4 by tests/test_fast_infer.py; net-level bf16 drift stats in README)
+    assert err < 0.10, f"fast path diverged from module forward: max err {err}"
 
     best = 0.0
     best_batch = 0
