@@ -107,10 +107,16 @@ class LossWeights:
 
     @classmethod
     def optflow_only(cls) -> "LossWeights":
-        """``train_optflow_only.py:33-37`` — 224x224 flow-only training."""
+        """``train_optflow_only.py:33-37`` — 224x224 flow-only training.
+
+        ``sampler="pallas"``: the banded Pallas sampler cuts the whole train step
+        49.1 -> 30.7 ms/step (-37%, ``tools/ab_sampler.py`` round 3) — this config
+        is warp-dominated (flow photometric + flow-supervised warps, no depth
+        branch), so the gather cost XLA amortizes elsewhere dominates here.
+        """
         return cls(height=224, width=224, max_steps=20_000,
                    smooth_weight=0.2, data_weight=1.0, optflow_weight=1.0,
-                   depth_weight=500.0)
+                   depth_weight=500.0, sampler="pallas")
 
     @classmethod
     def sfm_multi(cls) -> "LossWeights":
