@@ -104,3 +104,55 @@ def test_fast_forward_bf16_close(setup):
     got = fast_depth_forward(variables, x, dtype=jnp.bfloat16)
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=0.05, atol=0.05)
+
+
+@pytest.mark.parametrize("full,C", [(False, 6), (False, 11), (True, 6)])
+def test_fast_pose_forward_matches_apply(full, C):
+    """fast_depth_pose_forward == DepthPoseNet.apply (warmed stats, rtol 2e-4):
+    disps, pose, and explainability masks, truncated and full-resolution, 6-ch
+    pair and 11-ch flow-augmented inputs."""
+    import jax
+
+    from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
+    from tf_depth_estimation_tpu.models import DepthPoseNet
+
+    rng2 = np.random.RandomState(7)
+    x = jnp.asarray(rng2.rand(2, 64, 96, C).astype(np.float32))
+    model = DepthPoseNet(full_resolution=full, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    for _ in range(2):  # warm stats: non-splat affine constants, the real case
+        _, upd = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+    ref = model.apply(variables, x, train=False)
+    got = fast_depth_pose_forward(
+        variables, x, full_resolution=full, dtype=jnp.float32)
+    for g, r in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4)
+
+
+def test_pair_predictor_uses_fast_pose():
+    """PairPredictor with batch_stats routes through fast_depth_pose_forward and
+    matches the plain module forward (depth AND pose)."""
+    import jax
+
+    from tf_depth_estimation_tpu.infer.predictor import PairPredictor
+    from tf_depth_estimation_tpu.models import DepthPoseNet
+
+    rng2 = np.random.RandomState(8)
+    frames = rng2.rand(4, 64, 96, 3).astype(np.float32)
+    pairs = np.concatenate([frames[:-1], frames[1:]], axis=-1)
+    model = DepthPoseNet(full_resolution=False, dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(pairs[:1]), train=False)
+    for _ in range(2):
+        _, upd = model.apply(variables, jnp.asarray(pairs), train=True,
+                             mutable=["batch_stats"])
+        variables = {**variables, "batch_stats": upd["batch_stats"]}
+
+    pred = PairPredictor(variables["params"], variables["batch_stats"],
+                         height=64, width=96, batch_size=2, dtype=jnp.float32)
+    z, pose = pred.predict_pairs(frames)
+
+    disps, pose_ref, _ = model.apply(variables, jnp.asarray(pairs), train=False)
+    np.testing.assert_allclose(z, np.asarray(disps[0][..., 0]), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(pose, np.asarray(pose_ref[:, 0]), rtol=2e-4, atol=2e-4)

@@ -208,10 +208,18 @@ class FlowAugmentedPredictor:
         self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
         variables = {"params": params}
         if batch_stats:
+            from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
+
             variables["batch_stats"] = batch_stats
-        self._fwd = jax.jit(
-            lambda x: self.model.apply(variables, x, train=False)[0][0][..., 0]
-        )
+            # folded eval forward (infer/fast_pose.py; parity-locked): neutral at
+            # 192x256 b16, guards larger shapes against the non-splat BN penalty
+            self._fwd = jax.jit(lambda x: fast_depth_pose_forward(
+                variables, x, full_resolution=full_resolution,
+                dtype=dtype)[0][0][..., 0])
+        else:
+            self._fwd = jax.jit(
+                lambda x: self.model.apply(variables, x, train=False)[0][0][..., 0]
+            )
 
     @staticmethod
     def assemble_input(I: np.ndarray, I1: np.ndarray, flow: np.ndarray) -> np.ndarray:
@@ -243,11 +251,21 @@ class PairPredictor:
         self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
         variables = {"params": params}
         if batch_stats:
+            from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
+
             variables["batch_stats"] = batch_stats
 
-        def fwd(x):
-            disps, pose, _masks = self.model.apply(variables, x, train=False)
-            return disps[0][..., 0], pose[:, 0]
+            def fwd(x):
+                # folded eval forward (infer/fast_pose.py; parity-locked): neutral
+                # at 192x256 b16, guards larger shapes (see fast_pose docstring)
+                disps, pose, _masks = fast_depth_pose_forward(
+                    variables, x, full_resolution=full_resolution, dtype=dtype)
+                return disps[0][..., 0], pose[:, 0]
+        else:
+
+            def fwd(x):
+                disps, pose, _masks = self.model.apply(variables, x, train=False)
+                return disps[0][..., 0], pose[:, 0]
 
         self._fwd = jax.jit(fwd)
 
