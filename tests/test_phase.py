@@ -134,3 +134,19 @@ def test_conv_s2_overlapped_exact(k, hw):
     got = depth_to_space(conv_s2_overlapped(x, w))
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("k", [3, 5, 7])
+@pytest.mark.parametrize("hw", [(12, 16), (24, 36)])
+def test_conv_s2_from_phase_bias_exact(k, hw):
+    """bias= adds the vector to every output INSIDE the conv (ones-channel tap) —
+    exact vs conv + add, including at the borders where SAME padding is live."""
+    H, W = hw
+    ci, co = 8, 6
+    x = _rand(2, H, W, ci, seed=11)
+    w = _rand(k, k, ci, co, seed=12) * 0.1
+    b = _rand(co, seed=13)
+    ref = jax.lax.conv_general_dilated(
+        x, w, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+    got = conv_s2_from_phase(space_to_depth(x), w, (H, W), bias=b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
