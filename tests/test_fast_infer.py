@@ -156,3 +156,14 @@ def test_pair_predictor_uses_fast_pose():
     disps, pose_ref, _ = model.apply(variables, jnp.asarray(pairs), train=False)
     np.testing.assert_allclose(z, np.asarray(disps[0][..., 0]), rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(pose, np.asarray(pose_ref[:, 0]), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("tail", ["overlap", "native"])
+def test_fast_forward_split_concat(setup, tail):
+    """split_concat: every decoder concat-conv computed as per-input convs summed
+    (contraction linearity) — exact vs the concat form."""
+    _, variables, x, ref = setup
+    got = fast_depth_forward(
+        variables, x, dtype=jnp.float32, tail=tail, split_concat=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-4)

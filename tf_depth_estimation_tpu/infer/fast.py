@@ -71,6 +71,7 @@ def fast_depth_forward(
     tail: str = "overlap",
     disp_scaling: float = 4.0,
     min_disp: float = 0.0,
+    split_concat: bool = False,
     stop_at: str = "",
 ) -> List[jnp.ndarray]:
     """Eval-mode DispNet forward; returns [d1, d2, d3, d4] (float32).
@@ -236,6 +237,21 @@ def fast_depth_forward(
     def iconv(x, name):
         return aff(conv(x, dec_w(name)), dec_p, dec_s, name)
 
+    def iconv_cat(xs, name):
+        """icnv over a concat.  ``split_concat``: conv(cat(xs)) == sum of per-input
+        convs (contraction linearity) -- skips materializing the concat tensor
+        (largest at the full/half-res stages), at the cost of k extra conv calls."""
+        if not split_concat or len(xs) == 1:
+            return iconv(jnp.concatenate(xs, -1), name)
+        w = dec_w(name)
+        off, y = 0, None
+        for x in xs:
+            c = x.shape[-1]
+            part = conv(x, w[:, :, off : off + c, :])
+            y = part if y is None else y + part
+            off += c
+        return aff(y, dec_p, dec_s, name)
+
     def head(x, name):
         w = cw(dec_p, name)
         b = dec_p[name]["Conv_0"]["bias"].astype(dt)
@@ -246,21 +262,21 @@ def fast_depth_forward(
 
     x = deconv(skip_full(6), "upcnv7")
     x = resize_like(x, skip_full(5))
-    x = iconv(cat([x, skip_full(5)]), "icnv7")
+    x = iconv_cat([x, skip_full(5)], "icnv7")
     x = deconv(x, "upcnv6")
     x = resize_like(x, skip_full(4))
-    x = iconv(cat([x, skip_full(4)]), "icnv6")
+    x = iconv_cat([x, skip_full(4)], "icnv6")
     x = deconv(x, "upcnv5")
     x = resize_like(x, skip_full(3))
-    x = iconv(cat([x, skip_full(3)]), "icnv5")
+    x = iconv_cat([x, skip_full(3)], "icnv5")
     x = deconv(x, "upcnv4")
     x = resize_like(x, skip_full(2))
-    x = iconv(cat([x, skip_full(2)]), "icnv4")
+    x = iconv_cat([x, skip_full(2)], "icnv4")
     d4 = head(x, "disp4")
     d4u = resize_bilinear(d4, (H // 4, W // 4))
     x = deconv(x, "upcnv3")
     x = resize_like(x, skip_full(1))
-    x = iconv(cat([x, skip_full(1), d4u.astype(dt)]), "icnv3")
+    x = iconv_cat([x, skip_full(1), d4u.astype(dt)], "icnv3")
     d3 = head(x, "disp3")
     if stop_at == "d3":
         return [d3, d4]
@@ -275,7 +291,7 @@ def fast_depth_forward(
         x = deconv(x, "upcnv2")
         c1 = skip_full(0)
         x = resize_like(x, c1)
-        x2 = iconv(cat([x, c1, d3u.astype(dt)]), "icnv2")
+        x2 = iconv_cat([x, c1, d3u.astype(dt)], "icnv2")
         d2 = head(x2, "disp2")
     elif mid_mode == "overlap":
         # icnv2 as an overlapped 4x4/s2 conv (N 32 -> 128 packed: full MXU lanes
@@ -311,7 +327,7 @@ def fast_depth_forward(
         x = deconv(x2, "upcnv1")
         if x.shape[1:3] != (H, W):
             x = resize_like(x, d2u)
-        x = iconv(cat([x, d2u.astype(dt)]), "icnv1")
+        x = iconv_cat([x, d2u.astype(dt)], "icnv1")
         d1 = head(x, "disp1")
         return [d1, d2, d3, d4]
 
@@ -337,7 +353,13 @@ def fast_depth_forward(
         x = deconv(x2, "upcnv1")
         if x.shape[1:3] != (H, W):
             x = resize_like(x, d2u)
-        y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), dec_w("icnv1"))
+        w_i1 = dec_w("icnv1")
+        if split_concat:
+            cx = x.shape[-1]
+            y_ph = (conv_s1_overlapped(x, w_i1[:, :, :cx, :])
+                    + conv_s1_overlapped(d2u.astype(dt), w_i1[:, :, cx:, :]))
+        else:
+            y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), w_i1)
         y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
         d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
         d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
