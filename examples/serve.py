@@ -87,7 +87,7 @@ def main(argv=None):
 
     done = set()
     retries = {}  # path -> failed decode attempts (partially-written frames)
-    batches = 0
+    batches = frames_served = 0
     print(f"watching {args.watch_dir} (poll {args.poll_s}s)", flush=True)
     while True:
         fresh = [f for f in sorted(glob(os.path.join(args.watch_dir, "*.jpg")))
@@ -124,11 +124,12 @@ def main(argv=None):
             done.add(path)
         dt = time.time() - t0
         batches += 1
+        frames_served += len(served)
         print(f"served {len(served)} frames in {dt:.3f}s "
               f"({len(served)/dt:.1f} fps end-to-end)", flush=True)
         if args.max_batches and batches >= args.max_batches:
             break
-    return len(done)
+    return frames_served  # served only — blacklisted frames are not counted
 
 
 def _serve_arrays(args, pred, np):
@@ -177,8 +178,11 @@ def _serve_arrays(args, pred, np):
             out = os.path.join(
                 args.output_dir,
                 os.path.basename(f)[: -len(".npy")] + "_z.npy")
-            np.save(out + ".tmp.npy", zs.astype(np.float32))
-            os.replace(out + ".tmp.npy", out)
+            # tmp name must not end in .npy (it would match the input glob when
+            # watch_dir == output_dir); an open handle stops np.save suffixing it
+            with open(out + ".tmp", "wb") as fh:
+                np.save(fh, zs.astype(np.float32))
+            os.replace(out + ".tmp", out)
             done.add(f)
             frames_served += len(frames)
             batches += 1

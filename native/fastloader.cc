@@ -52,14 +52,14 @@ bool decode_jpeg(const std::string& path, ImageF32* out) {
   if (!f) return false;
   jpeg_decompress_struct cinfo;
   JpegErrJmp jerr;
-  // Constructed BEFORE setjmp: the longjmp recovery path then never jumps over a
-  // live non-trivially-destructible object (UB + per-corrupt-frame leak otherwise);
-  // its destructor runs on the normal `return false` exit.
-  std::vector<unsigned char> row;
   cinfo.err = jpeg_std_error(&jerr.pub);
   jerr.pub.error_exit = jpeg_error_longjmp;
   jpeg_create_decompress(&cinfo);
   if (setjmp(jerr.env)) {  // fatal decode error (corrupt/truncated file)
+    // The scanline buffer lives in libjpeg's own memory pool (alloc_sarray), so
+    // this destroy frees it too — no C++ object with a destructor is live
+    // between setjmp and any longjmp (strictly-defined recovery; the earlier
+    // std::vector row had indeterminate state after longjmp per C11 7.13.2.1).
     jpeg_destroy_decompress(&cinfo);
     std::fclose(f);
     return false;
@@ -76,12 +76,13 @@ bool decode_jpeg(const std::string& path, ImageF32* out) {
   out->w = cinfo.output_width;
   out->c = 3;
   out->data.resize(size_t(out->h) * out->w * 3);
-  row.resize(size_t(out->w) * 3);
-  unsigned char* rowp = row.data();
+  JSAMPARRAY row = (*cinfo.mem->alloc_sarray)(
+      reinterpret_cast<j_common_ptr>(&cinfo), JPOOL_IMAGE,
+      cinfo.output_width * 3, 1);
   for (int y = 0; y < out->h; ++y) {
-    jpeg_read_scanlines(&cinfo, &rowp, 1);
+    jpeg_read_scanlines(&cinfo, row, 1);
     float* dst = out->data.data() + size_t(y) * out->w * 3;
-    for (int i = 0; i < out->w * 3; ++i) dst[i] = float(row[i]);
+    for (int i = 0; i < out->w * 3; ++i) dst[i] = float(row[0][i]);
   }
   jpeg_finish_decompress(&cinfo);
   jpeg_destroy_decompress(&cinfo);

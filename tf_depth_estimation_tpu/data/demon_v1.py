@@ -84,9 +84,11 @@ def is_v1_sample(g) -> bool:
     """True if an HDF5 group holds a complete v1 sample (two views + v0 depth)."""
     try:
         t0 = g["frames/t0"]
+        # the containment checks must sit inside the try too: if frames/t0
+        # resolves to a stray *dataset*, `"v0" in t0` raises rather than False
+        return "v0" in t0 and "v1" in t0 and "depth" in t0["v0"]
     except (KeyError, TypeError, ValueError, AttributeError):  # stray datasets
         return False
-    return "v0" in t0 and "v1" in t0 and "depth" in t0["v0"]
 
 
 def parse_v1_sample(g) -> dict:

@@ -60,6 +60,24 @@ def _tile4(v):
     return jnp.tile(v, 4)  # phase-packed channels are (p, q, c) — c fastest
 
 
+def _bias_fold_kernel(w, t, in_hw, stride):
+    """Augment a [kh, kw, ci, co] kernel so conv([x, 1], w_aug) == conv(x, w) + t.
+
+    The bias vector ``t`` rides an appended ones-input-channel at kernel tap
+    (pad_top, pad_top), which under SAME padding reads input index ``stride*i``
+    for every output i — always in bounds when in_hw divides by ``stride`` (the
+    caller asserts this) — so the fold is exact.  Shared by the DispNet
+    (``conv_bias_folded``) and DepthPoseNet (``fast_pose.conv_stem``) stems; see
+    ``conv_bias_folded`` for why the shift must live inside the convolution.
+    """
+    kh, kw = w.shape[:2]
+    in_h, in_w = in_hw
+    tap_h = max((in_h // stride - 1) * stride + kh - in_h, 0) // 2
+    tap_w = max((in_w // stride - 1) * stride + kw - in_w, 0) // 2
+    w_aug = jnp.zeros((kh, kw, w.shape[2] + 1, w.shape[3]), w.dtype)
+    return w_aug.at[:, :, :-1, :].set(w).at[tap_h, tap_w, -1, :].set(t)
+
+
 def fast_depth_forward(
     variables: Dict[str, Any],
     image: jnp.ndarray,
@@ -94,7 +112,8 @@ def fast_depth_forward(
         # phase/overlap stems and tails 2x2-pack pixels twice; odd sizes would
         # mis-slice with cryptic shape errors deep in ops/phase.py
         assert H % 4 == 0 and W % 4 == 0, (
-            f"stem={stem!r}/tail={tail!r} require H, W divisible by 4, got {H}x{W}")
+            f"stem={stem!r}/mid={mid!r}/tail={tail!r} require H, W divisible by 4, "
+            f"got {H}x{W}")
     dt = dtype
 
     def cw(tree, name):  # raw conv kernel (disp heads: bias, no BN), compute dtype
@@ -140,13 +159,8 @@ def fast_depth_forward(
         deep encoder / decoder epilogue adds are free).
         """
         s, t = _affine(tree_p, tree_s, name)
-        w = tree_p[name]["Conv_0"]["kernel"] * s
-        kh, kw = w.shape[:2]
-        in_h, in_w = x.shape[1:3]
-        tap_h = max((in_h // stride - 1) * stride + kh - in_h, 0) // 2
-        tap_w = max((in_w // stride - 1) * stride + kw - in_w, 0) // 2
-        w_aug = jnp.zeros((kh, kw, w.shape[2] + 1, w.shape[3]), w.dtype)
-        w_aug = w_aug.at[:, :, :-1, :].set(w).at[tap_h, tap_w, -1, :].set(t)
+        w_aug = _bias_fold_kernel(tree_p[name]["Conv_0"]["kernel"] * s, t,
+                                  x.shape[1:3], stride)
         x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
         return jax.nn.relu(conv(x1, w_aug.astype(dt), stride))
 

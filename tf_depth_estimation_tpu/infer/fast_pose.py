@@ -32,16 +32,8 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
+from tf_depth_estimation_tpu.infer.fast import _affine, _bias_fold_kernel
 from tf_depth_estimation_tpu.ops.resize import resize_bilinear, resize_like
-
-
-def _affine(params, stats, name):
-    """Eval-mode slim batch_norm (center-only) as (scale, shift) float32 vectors."""
-    var = stats[name]["BatchNorm_0"]["var"]
-    mean = stats[name]["BatchNorm_0"]["mean"]
-    bias = params[name]["BatchNorm_0"]["bias"]
-    s = jax.lax.rsqrt(var + 1e-3)
-    return s, bias - mean * s
 
 
 def fast_depth_pose_forward(
@@ -62,6 +54,11 @@ def fast_depth_pose_forward(
     p = variables["params"]
     st = variables["batch_stats"]
     H, W = image_pair.shape[1:3]
+    # the stem's in-conv bias tap reads input stride*i — exact only when H, W
+    # divide by the stem stride (see _bias_fold_kernel); every reference
+    # operating point (192x256, 240x720, 224x224/480) qualifies
+    assert H % 2 == 0 and W % 2 == 0, (
+        f"fast_depth_pose_forward requires even H, W, got {H}x{W}")
     dt = dtype
 
     def conv_raw(x, w, stride=1):
@@ -77,15 +74,10 @@ def fast_depth_pose_forward(
 
     def conv_stem(x, name, stride):
         # low-channel stem: shift INSIDE the conv via the ones-channel tap
-        # (fast.py conv_bias_folded; see module docstring for the measured why)
+        # (shared tap math: fast.py _bias_fold_kernel; see its docstring)
         s, t = _affine(p, st, name)
-        w = p[name]["Conv_0"]["kernel"] * s
-        kh, kw = w.shape[:2]
-        in_h, in_w = x.shape[1:3]
-        tap_h = max((in_h // stride - 1) * stride + kh - in_h, 0) // 2
-        tap_w = max((in_w // stride - 1) * stride + kw - in_w, 0) // 2
-        w_aug = jnp.zeros((kh, kw, w.shape[2] + 1, w.shape[3]), w.dtype)
-        w_aug = w_aug.at[:, :, :-1, :].set(w).at[tap_h, tap_w, -1, :].set(t)
+        w_aug = _bias_fold_kernel(p[name]["Conv_0"]["kernel"] * s, t,
+                                  x.shape[1:3], stride)
         x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
         return jax.nn.relu(conv_raw(x1, w_aug.astype(dt), stride))
 

@@ -128,7 +128,7 @@ class DepthPredictor:
         if batch_stats:
             variables["batch_stats"] = batch_stats
 
-        fast_ok = (batch_stats is not None and v.use_bn and not v.flow_decoder
+        fast_ok = (bool(batch_stats) and v.use_bn and not v.flow_decoder
                    and v.head_activation == "sigmoid"
                    and height % 4 == 0 and width % 4 == 0)
         if use_fast is None:
