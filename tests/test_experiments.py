@@ -95,3 +95,20 @@ def test_depth_only_cli_resume(colon_root, tmp_path):
     assert int(state.step) == 2
     state, _ = depth_only.main(common + ["--max_steps", "4", "--continue_train"])
     assert int(state.step) == 4
+
+
+def test_distill_turbo_cli(tmp_path):
+    """Turbo distillation CLI: synthetic frames, random teacher, resume via group."""
+    from tf_depth_estimation_tpu.train.experiments import distill_turbo
+
+    common = [
+        "--checkpoint_dir", str(tmp_path / "ck"), "--turbo_variant", "small",
+        "--image_height", "64", "--image_width", "96", "--batch_size", "2",
+        "--summary_freq", "2", "--validation_check", "2", "--save_latest_freq", "2",
+        "--dtype", "float32",
+    ]
+    state, last = distill_turbo.main(common + ["--max_steps", "2"])
+    assert int(state.step) == 2
+    assert np.isfinite(last["total_loss"])
+    state, _ = distill_turbo.main(common + ["--max_steps", "4", "--continue_train"])
+    assert int(state.step) == 4

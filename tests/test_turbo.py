@@ -1,0 +1,149 @@
+"""Turbo architecture track: model contract, subpixel packing, distillation.
+
+The turbo family is a TPU-specific extension (no reference counterpart — see
+``models/turbo.py``): these tests lock its output contract to the depth4 family
+(4-scale sigmoid*4 float32 pyramid), the exactness of the generic space/depth
+repacking, and that distillation against a depth4 teacher actually converges.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tf_depth_estimation_tpu.models import (
+    DispNet,
+    DispNetVariant,
+    TurboDepthNet,
+    TurboVariant,
+)
+from tf_depth_estimation_tpu.ops.phase import (
+    depth_to_space,
+    depth_to_space_n,
+    space_to_depth,
+    space_to_depth_n,
+)
+
+
+class TestSpaceDepthN:
+    def test_round_trip(self):
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 8, 12, 5).astype(np.float32))
+        for n in (1, 2, 4):
+            packed = space_to_depth_n(x, n)
+            assert packed.shape == (2, 8 // n, 12 // n, n * n * 5)
+            np.testing.assert_array_equal(np.asarray(depth_to_space_n(packed, n)),
+                                          np.asarray(x))
+
+    def test_matches_fixed2(self):
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 6, 4, 3).astype(np.float32))
+        np.testing.assert_array_equal(np.asarray(space_to_depth_n(x, 2)),
+                                      np.asarray(space_to_depth(x)))
+        p = space_to_depth(x)
+        np.testing.assert_array_equal(np.asarray(depth_to_space_n(p, 2)),
+                                      np.asarray(depth_to_space(p)))
+
+    def test_block_order(self):
+        # out[..., (p*n+q)*C + c] == x[n*u+p, n*v+q, c]
+        x = np.arange(1 * 4 * 4 * 2, dtype=np.float32).reshape(1, 4, 4, 2)
+        packed = np.asarray(space_to_depth_n(jnp.asarray(x), 4))
+        for p in range(4):
+            for q in range(4):
+                for c in range(2):
+                    assert packed[0, 0, 0, (p * 4 + q) * 2 + c] == x[0, p, q, c]
+
+
+class TestTurboModel:
+    def _init(self, variant, H=64, W=96, B=1, dtype=jnp.float32):
+        model = TurboDepthNet(variant, dtype=dtype)
+        x = jnp.zeros((B, H, W, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return model, variables, x
+
+    def test_pyramid_contract(self):
+        """Same output contract as DispNet depth4: 4 float32 scales in [0, 4]."""
+        model, variables, _ = self._init(TurboVariant.base())
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 64, 96, 3).astype(np.float32))
+        preds = model.apply(variables, x, train=False)
+        assert [tuple(p.shape) for p in preds] == [
+            (2, 64, 96, 1), (2, 32, 48, 1), (2, 16, 24, 1), (2, 8, 12, 1)]
+        for p in preds:
+            assert p.dtype == jnp.float32
+            arr = np.asarray(p)
+            assert np.all(arr >= 0) and np.all(arr <= 4) and np.all(np.isfinite(arr))
+
+    def test_full_only_matches_pyramid_head(self):
+        model, variables, _ = self._init(TurboVariant.small())
+        x = jnp.asarray(np.random.RandomState(1).rand(1, 64, 96, 3).astype(np.float32))
+        d1_full = model.apply(variables, x, train=False)[0]
+        (d1_only,) = model.apply(variables, x, train=False, full_only=True)
+        np.testing.assert_array_equal(np.asarray(d1_only), np.asarray(d1_full))
+
+    def test_patch2_variant(self):
+        v = TurboVariant("p2", patch=2, widths=(32, 64, 96, 96), fpn_width=32)
+        model, variables, _ = self._init(v, H=32, W=32)
+        preds = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+        assert [tuple(p.shape[1:3]) for p in preds] == [
+            (32, 32), (16, 16), (8, 8), (4, 4)]
+
+    def test_size_guard(self):
+        model, variables, _ = self._init(TurboVariant.base())
+        with pytest.raises(AssertionError, match="divisible"):
+            model.apply(variables, jnp.zeros((1, 60, 96, 3)), train=False)
+
+    def test_bn_stats_update(self):
+        model, variables, x = self._init(TurboVariant.small())
+        x = jnp.asarray(np.random.RandomState(2).rand(1, 64, 96, 3).astype(np.float32))
+        _, mut = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(variables["batch_stats"])
+        after = jax.tree_util.tree_leaves(mut["batch_stats"])
+        assert any(not np.allclose(np.asarray(b), np.asarray(a))
+                   for b, a in zip(before, after))
+
+    def test_bf16_compute_close_to_f32(self):
+        v = TurboVariant.small()
+        model32, variables, _ = self._init(v)
+        model16 = TurboDepthNet(v, dtype=jnp.bfloat16)
+        x = jnp.asarray(np.random.RandomState(3).rand(1, 64, 96, 3).astype(np.float32))
+        p32 = np.asarray(model32.apply(variables, x, train=False)[0])
+        p16 = np.asarray(model16.apply(variables, x, train=False)[0], np.float32)
+        assert np.mean(np.abs(p32 - p16)) < 0.05  # [0,4] output, bf16 rounding only
+
+
+class TestDistillation:
+    def test_student_converges_to_teacher(self):
+        from tf_depth_estimation_tpu.train.distill import (
+            make_distill_eval,
+            make_distill_step,
+        )
+        from tf_depth_estimation_tpu.train.state import adam, create_train_state
+        from tf_depth_estimation_tpu.train.steps import jit_step
+
+        H, W, B = 64, 96, 2
+        teacher = DispNet(DispNetVariant.depth4())
+        x0 = jnp.asarray(np.random.RandomState(0).rand(B, H, W, 3).astype(np.float32))
+        t_vars = teacher.init(jax.random.PRNGKey(1), x0, train=False)
+
+        # bn momentum 0.5 so the eval-mode running stats track this short overfit
+        # run (at the production 0.99 the EMA lags ~100s of steps — irrelevant for
+        # a real 5k-step distillation, dominant in a 30-step test)
+        variant = dataclasses.replace(TurboVariant.small(), bn_momentum=0.5)
+        student = TurboDepthNet(variant)
+        state = create_train_state(student, jnp.zeros((B, H, W, 3)),
+                                   tx=adam(2e-3))
+        step = jit_step(make_distill_step(teacher.apply))
+        evaluate = jax.jit(make_distill_eval(teacher.apply))
+
+        first = None
+        for _ in range(30):
+            state, metrics = step(state, t_vars, x0)
+            if first is None:
+                first = float(metrics["total_loss"])
+        last = float(metrics["total_loss"])
+        assert np.isfinite(last)
+        assert last < 0.5 * first, (first, last)
+
+        stats = evaluate(state, t_vars, x0)
+        assert np.isfinite(float(stats["mae_vs_teacher"]))
+        # overfit on one batch: the student's full-res output tracks the teacher
+        assert float(stats["mae_vs_teacher"]) < 0.3, dict(stats)

@@ -14,6 +14,7 @@ from tf_depth_estimation_tpu.models.dispnet import DispNet, DispNetVariant
 from tf_depth_estimation_tpu.models.depth_pose import DepthPoseNet, PoseExpNet
 from tf_depth_estimation_tpu.models.upconv import UpconvNet
 from tf_depth_estimation_tpu.models.composite import LRNet
+from tf_depth_estimation_tpu.models.turbo import TurboDepthNet, TurboVariant
 
 __all__ = ["DispNet", "DispNetVariant", "DepthPoseNet", "PoseExpNet", "UpconvNet",
-           "LRNet"]
+           "LRNet", "TurboDepthNet", "TurboVariant"]

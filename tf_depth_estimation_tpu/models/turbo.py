@@ -1,0 +1,155 @@
+"""TPU-first inference-optimized depth network — the "turbo" architecture track.
+
+This is NOT a reference component: every reference ``disp_net`` variant is ported
+exactly in ``models/dispnet.py``, and the exact-parity graph's measured optimum is
+~3.3k frames/s on a v5e — bounded near ~5.2k by its own bf16 roofline (ROADMAP.md
+"Performance state").  ``TurboDepthNet`` is the documented architecture-change route
+past that bound (ROADMAP "Remaining candidates" item 2): the same task contract as
+the flagship ``disp_net`` (a sigmoid*4 disparity pyramid from an RGB frame —
+reference ``nets_optflow_depth.py:76-147``), re-designed so every convolution is
+MXU-shaped from the start instead of rewritten after the fact:
+
+  * **space-to-depth patchify stem** (patch 4): the parity graph burns ~40% of its
+    time in the 3..64-channel full/half-resolution stem at <25% MXU utilization;
+    here the frame is losslessly repacked to ``H/4 x W/4 x 48`` and the first conv
+    is a 3x3 with a 432-wide contraction dim.
+  * **channels >= 96 everywhere, nothing above 1/4 resolution**: no stage pays the
+    low-N 128-lane padding tax the parity decoder tail pays.
+  * **FPN-style decoder**: subpixel upsamples (1x1 conv -> depth-to-space, the dense
+    formulation ROADMAP measured fastest for the parity deconvs) and ADD-fused 1x1
+    laterals — no channel-concat tensors to round-trip through HBM.
+  * **subpixel disparity head**: 3x3 -> patch^2 channels at 1/4 resolution, then a
+    free depth-to-space to full resolution — the parity graph's most expensive
+    region (full-res N=16/N=1 convs) does not exist here.
+
+Weights come from distillation against a trained ``depth4`` teacher
+(``train/distill.py``): the student matches the teacher's 4-scale sigmoid*4 output
+pyramid, so it drops into every depth4 serving surface.  Accuracy is bounded by the
+teacher and must be validated per deployment — this family is opt-in and never the
+parity path (``bench.py`` keeps measuring the exact-parity graph; the turbo number
+is reported separately by ``tools/bench_turbo.py``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from tf_depth_estimation_tpu.models.layers import SlimConv
+from tf_depth_estimation_tpu.ops.phase import depth_to_space_n, space_to_depth_n
+
+
+@dataclasses.dataclass(frozen=True)
+class TurboVariant:
+    """Static configuration of the turbo family.
+
+    ``patch`` is both the stem space-to-depth factor and the head subpixel factor;
+    inputs must be divisible by ``patch * 2**(len(widths)-1)`` in H and W
+    (384x576 with the defaults: 96x144 base grid, 12x18 at the deepest stage).
+    """
+
+    name: str
+    patch: int = 4
+    widths: Tuple[int, ...] = (96, 192, 384, 384)  # encoder channels, 1/4 .. 1/32 res
+    fpn_width: int = 128                           # decoder channels at every level
+    head_scale: float = 4.0                        # sigmoid*4, matching depth4 heads
+    head_offset: float = 0.0
+    bn_momentum: float = 0.99
+
+    def __post_init__(self):
+        assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
+        assert len(self.widths) >= 2
+
+    @staticmethod
+    def base() -> "TurboVariant":
+        """Default operating point: ~18.5 GFLOP/frame at 384x576 (vs parity ~38)."""
+        return TurboVariant("base")
+
+    @staticmethod
+    def small() -> "TurboVariant":
+        """Throughput-first: ~9 GFLOP/frame at 384x576."""
+        return TurboVariant("small", widths=(64, 128, 256, 256), fpn_width=96)
+
+    @staticmethod
+    def wide() -> "TurboVariant":
+        """Quality headroom for distillation: ~33 GFLOP/frame at 384x576."""
+        return TurboVariant("wide", widths=(128, 256, 512, 512), fpn_width=160)
+
+    def min_hw_multiple(self) -> int:
+        return self.patch * 2 ** (len(self.widths) - 1)
+
+
+class TurboDepthNet(nn.Module):
+    """Multi-scale disparity network with the depth4 output contract.
+
+    Returns ``[d1, d2, d3, d4]`` — sigmoid*4 disparity at full, 1/2, 1/4 and 1/8
+    resolution (float32, like ``DispNet``) — or just ``[d1]`` when
+    ``full_only=True`` (the serving graph; the aux heads exist for training-time
+    multi-scale distillation/supervision only).
+    """
+
+    variant: TurboVariant
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, image, train: bool = True, full_only: bool = False):
+        v = self.variant
+        p = v.patch
+        H, W = image.shape[1:3]
+        m = v.min_hw_multiple()
+        assert H % m == 0 and W % m == 0, (
+            f"turbo-{v.name} needs H, W divisible by {m}, got {H}x{W}")
+
+        def conv(x, feat, name, *, stride=1, kernel=3, act=True, bn=True):
+            return SlimConv(
+                feat, (kernel, kernel), stride=stride, use_bn=bn,
+                bn_momentum=v.bn_momentum, activation=nn.relu if act else None,
+                dtype=self.dtype, name=name,
+            )(x, train)
+
+        x = space_to_depth_n(image.astype(self.dtype), p)
+
+        # Encoder: stride-1 stem pair at the 1/patch base grid, then stride-2 stages.
+        feats = []
+        x = conv(x, v.widths[0], "stem")
+        x = conv(x, v.widths[0], "stemb")
+        feats.append(x)
+        for i, w in enumerate(v.widths[1:], start=2):
+            x = conv(x, w, f"enc{i}", stride=2)
+            x = conv(x, w, f"enc{i}b")
+            feats.append(x)
+
+        # FPN decoder: top-down subpixel upsample + add-lateral + 3x3 fuse.
+        f = v.fpn_width
+        y = conv(feats[-1], f, "lat%d" % len(feats), kernel=1, act=False)
+        levels = {}  # level index (1 = base grid) -> decoder feature
+        for lvl in range(len(feats) - 1, 0, -1):
+            y = conv(y, 4 * f, f"up{lvl}", kernel=1, act=False)
+            y = depth_to_space_n(y, 2)
+            y = y + conv(feats[lvl - 1], f, f"lat{lvl}", kernel=1, act=False)
+            y = conv(y, f, f"fuse{lvl}")
+            levels[lvl] = y
+
+        def head(feat, ch, name):
+            # linear conv with bias (no BN) — the disp-head idiom of the parity nets
+            return conv(feat, ch, name, act=False, bn=False)
+
+        def to_disp(logits):
+            return (v.head_scale * nn.sigmoid(logits) + v.head_offset).astype(
+                jnp.float32)
+
+        base = levels[1]
+        d1 = to_disp(depth_to_space_n(head(base, p * p, "disp1"), p))
+        if full_only:
+            return [d1]
+        d2 = to_disp(depth_to_space_n(head(base, (p // 2) ** 2, "disp2"), p // 2))
+        # d3/d4 read the decoder level whose grid already is 1/4 resp. 1/8 of the
+        # input: level l has resolution H / (patch * 2**(l-1)).
+        lvl3 = {4: 1, 2: 2}[p]
+        assert lvl3 + 1 in levels, (
+            f"turbo-{v.name}: need >= {lvl3 + 2} encoder stages for the 1/8 head")
+        d3 = to_disp(head(levels[lvl3], 1, "disp3"))
+        d4 = to_disp(head(levels[lvl3 + 1], 1, "disp4"))
+        return [d1, d2, d3, d4]

@@ -49,6 +49,27 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, C)
 
 
+def space_to_depth_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[B,nH,nW,C] -> [B,H,W,n*n*C], same (p,q,c) channel order as space_to_depth.
+
+    ``out[..., (p*n+q)*C + c] == x[n*u+p, n*v+q, c]`` — generic block size for the
+    patchify stems / subpixel heads of the turbo architecture track (models/turbo.py).
+    """
+    B, H, W, C = x.shape
+    assert H % n == 0 and W % n == 0, (x.shape, n)
+    x = x.reshape(B, H // n, n, W // n, n, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // n, W // n, n * n * C)
+
+
+def depth_to_space_n(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[B,H,W,n*n*C] with (p,q,c) channel order -> [B,nH,nW,C]. Inverse of above."""
+    B, H, W, Cn = x.shape
+    C = Cn // (n * n)
+    assert C * n * n == Cn, (x.shape, n)
+    x = x.reshape(B, H, W, n, n, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, n * H, n * W, C)
+
+
 # ---------------------------------------------------------------------------
 # Tap-routing matrices.
 #
