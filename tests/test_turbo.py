@@ -147,3 +147,37 @@ class TestDistillation:
         assert np.isfinite(float(stats["mae_vs_teacher"]))
         # overfit on one batch: the student's full-res output tracks the teacher
         assert float(stats["mae_vs_teacher"]) < 0.3, dict(stats)
+
+
+class TestTurboPredictor:
+    def _make(self, height=64, **kw):
+        from tf_depth_estimation_tpu.infer import TurboPredictor
+
+        variant = TurboVariant.small()
+        model = TurboDepthNet(variant)
+        x0 = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+        pred = TurboPredictor(variables["params"], variables["batch_stats"],
+                              variant=variant, height=height, width=96,
+                              dtype=jnp.float32, **kw)
+        return model, variables, pred
+
+    def test_matches_module_forward(self):
+        model, variables, pred = self._make(batch_size=2)
+        frames = np.random.RandomState(0).rand(3, 64, 96, 3).astype(np.float32)
+        got = pred.predict_array(frames)  # exercises the ragged pow2 tail too
+        want = np.asarray(model.apply(variables, jnp.asarray(frames), train=False,
+                                      full_only=True)[0][..., 0])
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+    def test_sharded_over_virtual_mesh(self):
+        model, variables, pred = self._make(batch_size=8, num_devices=8)
+        frames = np.random.RandomState(1).rand(8, 64, 96, 3).astype(np.float32)
+        got = pred.predict_array(frames)
+        want = np.asarray(model.apply(variables, jnp.asarray(frames), train=False,
+                                      full_only=True)[0][..., 0])
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_size_guard(self):
+        with pytest.raises(ValueError, match="divisible"):
+            self._make(batch_size=2, height=60)

@@ -4,6 +4,8 @@ from tf_depth_estimation_tpu.infer.predictor import (
     DepthPredictor,
     FlowAugmentedPredictor,
     PairPredictor,
+    TurboPredictor,
 )
 
-__all__ = ["DepthPredictor", "FlowAugmentedPredictor", "PairPredictor"]
+__all__ = ["DepthPredictor", "FlowAugmentedPredictor", "PairPredictor",
+           "TurboPredictor"]

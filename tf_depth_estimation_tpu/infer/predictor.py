@@ -103,7 +103,58 @@ def _postprocess(z: np.ndarray, out_height: int, out_width: int,
     return z.astype(np.float32)
 
 
-class DepthPredictor:
+def _jit_sharded(fwd, num_devices: int, batch_size: int):
+    """jit ``fwd`` with optional data-mesh batch sharding (params replicated)."""
+    if num_devices > 1:
+        from tf_depth_estimation_tpu.parallel import batch_sharding, make_mesh
+
+        if batch_size % num_devices != 0:
+            raise ValueError("batch_size must divide evenly across devices")
+        mesh = make_mesh(num_devices)
+        sh = batch_sharding(mesh)
+        return jax.jit(fwd, in_shardings=sh, out_shardings=sh)
+    return jax.jit(fwd)
+
+
+class _SingleImagePredictor:
+    """Shared serving surface: batched array inference + the ``_z.bin`` directory
+    contract of ``batch_prediction.py:57-77``.  Subclasses set ``height``, ``width``,
+    ``batch_size``, ``_fwd`` (jitted [B,H,W,3] -> [B,H,W] disparity) and
+    ``_min_chunk``."""
+
+    height: int
+    width: int
+    batch_size: int
+    _min_chunk: int = 1
+
+    def predict_array(self, frames: np.ndarray) -> np.ndarray:
+        """[N, H, W, 3] float32 or uint8 -> [N, H, W] disparity (pow2-bucketed ragged
+        tail; uint8 frames transfer 4x less and are converted on device)."""
+        outs = _batched_apply(self._fwd, frames, self.batch_size, self._min_chunk)
+        return np.concatenate([np.asarray(z)[:keep] for z, keep in outs], axis=0)
+
+    def predict_directory(self, dataset_dir: str, output_dir: str, *,
+                          out_height: int = 240, out_width: int = 720,
+                          bilateral: bool = True) -> List[str]:
+        """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract)."""
+        os.makedirs(output_dir, exist_ok=True)
+        img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
+        if not img_list:
+            raise FileNotFoundError(
+                f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
+                "non-recursively, like the reference batch_prediction.py)")
+        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
+        preds = self.predict_array(frames)
+        written = []
+        for path, z in zip(img_list, preds):
+            z = _postprocess(z, out_height, out_width, bilateral)
+            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
+            z.tofile(out)
+            written.append(out)
+        return written
+
+
+class DepthPredictor(_SingleImagePredictor):
     """Single-image disparity inference (ref ``batch_prediction.py``).
 
     ``num_devices > 1`` shards the batch over a data mesh (params replicated) — the
@@ -154,43 +205,39 @@ class DepthPredictor:
         else:
             fwd = lambda x: self.model.apply(
                 variables, as_float(x), train=False)[0][..., 0]
-        if num_devices > 1:
-            from tf_depth_estimation_tpu.parallel import batch_sharding, make_mesh
-
-            if batch_size % num_devices != 0:
-                raise ValueError("batch_size must divide evenly across devices")
-            mesh = make_mesh(num_devices)
-            sh = batch_sharding(mesh)
-            self._fwd = jax.jit(fwd, in_shardings=sh, out_shardings=sh)
-        else:
-            self._fwd = jax.jit(fwd)
+        self._fwd = _jit_sharded(fwd, num_devices, batch_size)
         self._min_chunk = num_devices  # tail buckets must stay shardable
 
-    def predict_array(self, frames: np.ndarray) -> np.ndarray:
-        """[N, H, W, 3] float32 or uint8 -> [N, H, W] disparity (pow2-bucketed ragged
-        tail; uint8 frames transfer 4x less and are converted on device)."""
-        outs = _batched_apply(self._fwd, frames, self.batch_size, self._min_chunk)
-        return np.concatenate([np.asarray(z)[:keep] for z, keep in outs], axis=0)
 
-    def predict_directory(self, dataset_dir: str, output_dir: str, *,
-                          out_height: int = 240, out_width: int = 720,
-                          bilateral: bool = True) -> List[str]:
-        """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract)."""
-        os.makedirs(output_dir, exist_ok=True)
-        img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
-        if not img_list:
-            raise FileNotFoundError(
-                f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
-                "non-recursively, like the reference batch_prediction.py)")
-        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
-        preds = self.predict_array(frames)
-        written = []
-        for path, z in zip(img_list, preds):
-            z = _postprocess(z, out_height, out_width, bilateral)
-            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
-            z.tofile(out)
-            written.append(out)
-        return written
+class TurboPredictor(_SingleImagePredictor):
+    """Serving surface for the turbo architecture track (``models/turbo.py``).
+
+    Same array/directory contract as ``DepthPredictor`` (it serves the same depth4
+    output pyramid, distilled — ``train/distill.py``), jitting the student's
+    ``full_only`` forward: only the full-resolution subpixel head is built, so the
+    serving graph carries none of the training-time aux heads.
+    """
+
+    def __init__(self, params, batch_stats, *, variant=None, height: int = 384,
+                 width: int = 576, batch_size: int = 128, dtype=jnp.bfloat16,
+                 num_devices: int = 1):
+        from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+        self.height, self.width, self.batch_size = height, width, batch_size
+        v = variant or TurboVariant.base()
+        m = v.min_hw_multiple()
+        if height % m or width % m:
+            raise ValueError(f"turbo-{v.name} needs H, W divisible by {m}")
+        self.model = TurboDepthNet(v, dtype=dtype)
+        variables = {"params": params, "batch_stats": batch_stats}
+
+        def fwd(x):
+            x = x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.integer) else x
+            return self.model.apply(variables, x, train=False,
+                                    full_only=True)[0][..., 0]
+
+        self._fwd = _jit_sharded(fwd, num_devices, batch_size)
+        self._min_chunk = num_devices
 
 
 class FlowAugmentedPredictor:
