@@ -45,6 +45,11 @@ def main(argv=None):
     p.add_argument("--max_batches", type=int, default=0,
                    help="stop after N non-empty batches (0 = run forever)")
     p.add_argument("--no_bilateral", action="store_true")
+    p.add_argument("--turbo", default="",
+                   help="serve a distilled TurboDepthNet instead of the parity "
+                        "DispNet: pass the variant name (base|small|wide); "
+                        "--checkpoint_group then defaults to 'turbo' "
+                        "(train/experiments/distill_turbo.py's group)")
     p.add_argument("--array_mode", action="store_true",
                    help="consume pre-decoded *.npy frame blocks [N, H, W, 3] "
                         "(uint8 0..255 or float32) instead of *.jpg; write "
@@ -65,7 +70,15 @@ def main(argv=None):
     from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
     from tf_depth_estimation_tpu.train.state import create_train_state
 
-    model = DispNet(DispNetVariant.depth4())
+    if args.turbo:
+        from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+        variant = getattr(TurboVariant, args.turbo)()
+        model = TurboDepthNet(variant)
+        if args.checkpoint_group == "model":
+            args.checkpoint_group = "turbo"  # distill_turbo.py's group name
+    else:
+        model = DispNet(DispNetVariant.depth4())
     state = create_train_state(model, jnp.zeros((1, args.height, args.width, 3)))
     params, stats = state.params, state.batch_stats
     if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):
@@ -78,8 +91,14 @@ def main(argv=None):
             params, stats = state.params, state.batch_stats
             print(f"restored step {int(state.step)} from {args.checkpoint_dir}")
 
-    pred = DepthPredictor(params, stats, height=args.height, width=args.width,
-                          batch_size=args.batch_size)
+    if args.turbo:
+        from tf_depth_estimation_tpu.infer import TurboPredictor
+
+        pred = TurboPredictor(params, stats, variant=variant, height=args.height,
+                              width=args.width, batch_size=args.batch_size)
+    else:
+        pred = DepthPredictor(params, stats, height=args.height, width=args.width,
+                              batch_size=args.batch_size)
     os.makedirs(args.output_dir, exist_ok=True)
 
     if args.array_mode:

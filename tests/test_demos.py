@@ -81,3 +81,19 @@ def test_serve_array_mode_blocks(tmp_path):
     z = np.load(str(out / "block0_z.npy"))
     assert z.shape == (3, 32, 64) and z.dtype == np.float32
     assert np.isfinite(z).all()
+
+
+def test_serve_turbo_model(frames, tmp_path):
+    """--turbo serves the distilled-architecture student through the same loop."""
+    import serve
+
+    out = str(tmp_path / "served_turbo")
+    n = serve.main(["--watch_dir", os.path.dirname(frames[0]),
+                    "--output_dir", out, "--height", "32", "--width", "64",
+                    "--out_height", "48", "--out_width", "96", "--turbo", "small",
+                    "--batch_size", "4", "--max_batches", "1", "--no_bilateral"])
+    assert n == 2
+    written = glob.glob(os.path.join(out, "*_z.bin"))
+    assert len(written) == 2
+    z = np.fromfile(written[0], np.float32)
+    assert z.size == 48 * 96 and np.isfinite(z).all()
