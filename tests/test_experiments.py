@@ -112,3 +112,19 @@ def test_distill_turbo_cli(tmp_path):
     assert np.isfinite(last["total_loss"])
     state, _ = distill_turbo.main(common + ["--max_steps", "4", "--continue_train"])
     assert int(state.step) == 4
+
+
+def test_depth_only_cli_turbo(colon_root, tmp_path):
+    """--turbo trains the MXU-shaped student directly on the supervised pipeline
+    (same 4-scale loss pyramid contract as the parity DispNet)."""
+    from tf_depth_estimation_tpu.train.experiments import depth_only
+
+    state, last = depth_only.main([
+        "--dataset_dir", colon_root, "--checkpoint_dir", str(tmp_path / "ck"),
+        "--image_height", "48", "--image_width", "144", "--batch_size", "2",
+        "--max_steps", "3", "--summary_freq", "3", "--validation_check", "0",
+        "--save_latest_freq", "3", "--dtype", "float32", "--num_epochs", "8",
+        "--turbo", "colon",
+    ])
+    assert int(state.step) == 3
+    assert np.isfinite(last["total"])

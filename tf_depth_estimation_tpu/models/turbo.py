@@ -77,6 +77,13 @@ class TurboVariant:
         """Quality headroom for distillation: ~33 GFLOP/frame at 384x576."""
         return TurboVariant("wide", widths=(128, 256, 512, 512), fpn_width=160)
 
+    @staticmethod
+    def colon() -> "TurboVariant":
+        """3-stage variant whose divisibility (16) fits the colon operating point
+        (240x720, ref ``train_depth_only.py:21-25``): 240 and 720 are not divisible
+        by the default 4 stages' 32."""
+        return TurboVariant("colon", widths=(96, 192, 384))
+
     def min_hw_multiple(self) -> int:
         return self.patch * 2 ** (len(self.widths) - 1)
 

@@ -32,6 +32,11 @@ def main(argv=None):
     p = base_parser(__doc__, batch_size=10, max_steps=20000)
     p.add_argument("--image_height", type=int, default=240)
     p.add_argument("--image_width", type=int, default=720)
+    p.add_argument("--turbo", default="",
+                   help="train a TurboDepthNet (base|small|wide|colon — the "
+                        "MXU-shaped serving architecture, models/turbo.py) instead "
+                        "of the parity DispNet; same 4-scale loss pyramid. 'colon' "
+                        "fits the 240x720 operating point (divisibility 16)")
     args = p.parse_args(argv)
 
     H, W = args.image_height, args.image_width
@@ -44,7 +49,13 @@ def main(argv=None):
         return pair_loader(args, ds, batch_size)
 
     batches = make_loader("train", args.batch_size)
-    model = DispNet(DispNetVariant.depth4(), dtype=compute_dtype(args))
+    if args.turbo:
+        from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+        model = TurboDepthNet(getattr(TurboVariant, args.turbo)(),
+                              dtype=compute_dtype(args))
+    else:
+        model = DispNet(DispNetVariant.depth4(), dtype=compute_dtype(args))
     state = create_train_state(model, jnp.zeros((args.batch_size, H, W, 3)),
                                learning_rate=args.learning_rate, beta1=args.beta1)
     mgr, logger, state = setup_run(args, state)
