@@ -86,7 +86,7 @@ def main():
             if fps > best:
                 best, best_batch = fps, B
 
-    baseline = 10000.0
+    from tf_depth_estimation_tpu.utils.constants import NORTH_STAR_FPS as baseline
     print(json.dumps({
         "metric": f"depth_frames_per_sec_per_chip_{W}x{H}_b{best_batch}",
         "value": round(best, 1),

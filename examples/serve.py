@@ -35,7 +35,10 @@ def main(argv=None):
     p.add_argument("--watch_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint_dir", default=None)
-    p.add_argument("--checkpoint_group", default="model")
+    p.add_argument("--checkpoint_group", default=None,
+                   help="orbax group to restore (default: 'model', or 'turbo' "
+                        "with --turbo — distill_turbo.py's group; pass 'model' "
+                        "explicitly to serve a `depth_only --turbo` checkpoint)")
     p.add_argument("--height", type=int, default=224)
     p.add_argument("--width", type=int, default=224)
     p.add_argument("--out_height", type=int, default=240)
@@ -47,7 +50,7 @@ def main(argv=None):
     p.add_argument("--no_bilateral", action="store_true")
     p.add_argument("--turbo", default="",
                    help="serve a distilled TurboDepthNet instead of the parity "
-                        "DispNet: pass the variant name (base|small|wide); "
+                        "DispNet: pass the variant name (base|small|wide|colon); "
                         "--checkpoint_group then defaults to 'turbo' "
                         "(train/experiments/distill_turbo.py's group)")
     p.add_argument("--array_mode", action="store_true",
@@ -73,12 +76,12 @@ def main(argv=None):
     if args.turbo:
         from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
 
-        variant = getattr(TurboVariant, args.turbo)()
+        variant = TurboVariant.by_name(args.turbo)
         model = TurboDepthNet(variant)
-        if args.checkpoint_group == "model":
-            args.checkpoint_group = "turbo"  # distill_turbo.py's group name
     else:
         model = DispNet(DispNetVariant.depth4())
+    if args.checkpoint_group is None:
+        args.checkpoint_group = "turbo" if args.turbo else "model"
     state = create_train_state(model, jnp.zeros((1, args.height, args.width, 3)))
     params, stats = state.params, state.batch_stats
     if args.checkpoint_dir and os.path.isdir(args.checkpoint_dir):

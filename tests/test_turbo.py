@@ -181,3 +181,39 @@ class TestTurboPredictor:
     def test_size_guard(self):
         with pytest.raises(ValueError, match="divisible"):
             self._make(batch_size=2, height=60)
+
+
+class TestCliGuards:
+    def test_by_name_rejects_unknown(self):
+        with pytest.raises(ValueError, match="unknown turbo variant"):
+            TurboVariant.by_name("bsae")
+        with pytest.raises(ValueError, match="choose from"):
+            TurboVariant.by_name("min_hw_multiple")  # attr exists but isn't a preset
+
+    def test_by_name_presets(self):
+        for name in TurboVariant.PRESETS:
+            assert TurboVariant.by_name(name).name == name
+
+    def test_distill_frames_glob_empty_raises(self, tmp_path):
+        from tf_depth_estimation_tpu.train.experiments import distill_turbo
+
+        with pytest.raises(FileNotFoundError, match="matched no files"):
+            distill_turbo.main([
+                "--checkpoint_dir", str(tmp_path / "ck"), "--turbo_variant", "small",
+                "--image_height", "64", "--image_width", "96", "--batch_size", "1",
+                "--max_steps", "1", "--dtype", "float32",
+                "--frames_glob", str(tmp_path / "nothing" / "*.jpg"),
+            ])
+
+    def test_distill_frames_are_serving_range(self, tmp_path):
+        """Distillation inputs are raw 0..255 (the serving distribution,
+        batch_prediction.py:59-69) — NOT /255-normalized."""
+        import argparse
+
+        from tf_depth_estimation_tpu.train.experiments.distill_turbo import (
+            _frame_batches,
+        )
+
+        args = argparse.Namespace(seed=0, frames_glob="", batch_size=4)
+        batch = next(_frame_batches(args, 64, 96))["image"]
+        assert float(jnp.max(batch)) > 2.0  # 0..255, not 0..1

@@ -216,6 +216,13 @@ class TurboPredictor(_SingleImagePredictor):
     output pyramid, distilled — ``train/distill.py``), jitting the student's
     ``full_only`` forward: only the full-resolution subpixel head is built, so the
     serving graph carries none of the training-time aux heads.
+
+    Input range: the directory path feeds raw 0..255 frames like the reference
+    (``batch_prediction.py:59-69`` — no /255), and ``distill_turbo.py`` distills on
+    that same serving distribution, so a distilled student drops in directly.  A
+    student trained with ``depth_only --turbo`` instead saw the loader's /255
+    frames — pre-scale ``predict_array`` inputs accordingly (the same train/serve
+    quirk the reference has for the parity net).
     """
 
     def __init__(self, params, batch_stats, *, variant=None, height: int = 384,

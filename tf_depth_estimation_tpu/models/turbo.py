@@ -58,9 +58,19 @@ class TurboVariant:
     head_offset: float = 0.0
     bn_momentum: float = 0.99
 
+    PRESETS = ("base", "small", "wide", "colon")  # class attr, not a dataclass field
+
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
         assert len(self.widths) >= 2
+
+    @staticmethod
+    def by_name(name: str) -> "TurboVariant":
+        """Preset lookup with a clean error (CLIs pass user input here)."""
+        if name not in TurboVariant.PRESETS:
+            raise ValueError(
+                f"unknown turbo variant {name!r}; choose from {TurboVariant.PRESETS}")
+        return getattr(TurboVariant, name)()
 
     @staticmethod
     def base() -> "TurboVariant":

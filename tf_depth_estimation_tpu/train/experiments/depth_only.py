@@ -52,7 +52,7 @@ def main(argv=None):
     if args.turbo:
         from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
 
-        model = TurboDepthNet(getattr(TurboVariant, args.turbo)(),
+        model = TurboDepthNet(TurboVariant.by_name(args.turbo),
                               dtype=compute_dtype(args))
     else:
         model = DispNet(DispNetVariant.depth4(), dtype=compute_dtype(args))

@@ -44,27 +44,49 @@ from tf_depth_estimation_tpu.train.state import adam, create_train_state
 from tf_depth_estimation_tpu.train.steps import jit_step
 
 
+_CACHE_FRAMES = 1024  # ~2.5 MB/frame at 384x576 — caps host RAM at ~2.5 GB
+
+
 def _frame_batches(args, H, W):
-    """Infinite [B,H,W,3] float32 /255 batches — the colon loaders' normalization
-    (``imageselect_Dataloader_optflow.py:128``), i.e. what a depth4 teacher saw."""
+    """Infinite [B,H,W,3] float32 batches in the SERVING input range (raw 0..255).
+
+    The depth4 serving surface feeds unnormalized frames — the reference quirk of
+    ``batch_prediction.py:59-69`` (training normalized /255, inference did not),
+    reproduced by ``DepthPredictor._load_frame``.  The student must mimic the
+    teacher on the distribution it will be *served* on, so distillation runs on
+    raw 0..255 for both nets.  Frames are decoded lazily per batch (a whole-glob
+    eager decode would OOM the host on a realistic corpus) with a capped cache.
+    """
     rng = np.random.RandomState(args.seed)
-    paths = sorted(glob.glob(args.frames_glob)) if args.frames_glob else []
-    if paths:
+    if args.frames_glob:
+        paths = sorted(glob.glob(args.frames_glob))
+        if not paths:
+            raise FileNotFoundError(
+                f"--frames_glob {args.frames_glob!r} matched no files")
         from PIL import Image
 
-        def load(p):
-            im = Image.open(p).convert("RGB").resize((W, H), Image.BILINEAR)
-            return np.asarray(im, np.float32) / 255.0
+        cache = {}
 
-        frames = np.stack([load(p) for p in paths])
+        def load(p):
+            got = cache.get(p)
+            if got is None:
+                im = Image.open(p).convert("RGB").resize((W, H), Image.BILINEAR)
+                got = np.asarray(im, np.float32)
+                if len(cache) < _CACHE_FRAMES:
+                    cache[p] = got
+            return got
+
+        while True:
+            idx = rng.randint(0, len(paths), size=args.batch_size)
+            yield {"image": jnp.asarray(np.stack([load(paths[i]) for i in idx]))}
     else:
         from tf_depth_estimation_tpu.data.synthetic import _texture
 
-        frames = np.stack([_texture(rng, H, W) / 255.0 for _ in range(16)]).astype(
-            np.float32)
-    while True:
-        idx = rng.randint(0, len(frames), size=args.batch_size)
-        yield {"image": jnp.asarray(frames[idx])}
+        frames = np.stack(  # _texture is already 0..255
+            [_texture(rng, H, W) for _ in range(16)]).astype(np.float32)
+        while True:
+            idx = rng.randint(0, len(frames), size=args.batch_size)
+            yield {"image": jnp.asarray(frames[idx])}
 
 
 def _load_teacher(args, H, W):
@@ -95,7 +117,7 @@ def main(argv=None):
     p.add_argument("--frames_glob", default="",
                    help="unlabeled training frames; default: synthetic textures")
     p.add_argument("--turbo_variant", default="base",
-                   choices=["base", "small", "wide"])
+                   choices=list(TurboVariant.PRESETS))
     p.add_argument("--image_height", type=int, default=384)
     p.add_argument("--image_width", type=int, default=576)
     args = p.parse_args(argv)
@@ -103,7 +125,7 @@ def main(argv=None):
     H, W = args.image_height, args.image_width
     teacher, t_vars = _load_teacher(args, H, W)
 
-    variant = getattr(TurboVariant, args.turbo_variant)()
+    variant = TurboVariant.by_name(args.turbo_variant)
     student = TurboDepthNet(variant, dtype=compute_dtype(args))
     state = create_train_state(student, jnp.zeros((args.batch_size, H, W, 3)),
                                tx=adam(args.learning_rate, args.beta1))

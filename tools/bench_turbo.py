@@ -25,8 +25,10 @@ def main(variant_name: str = "base"):
 
     from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
 
+    from tf_depth_estimation_tpu.utils.constants import NORTH_STAR_FPS
+
     H, W = 384, 576
-    variant = getattr(TurboVariant, variant_name)()
+    variant = TurboVariant.by_name(variant_name)
     model = TurboDepthNet(variant, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
 
@@ -76,7 +78,7 @@ def main(variant_name: str = "base"):
         "metric": f"turbo_{variant_name}_frames_per_sec_per_chip_{W}x{H}_b{best_batch}",
         "value": round(best, 1),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(best / 10000.0, 4),
+        "vs_baseline": round(best / NORTH_STAR_FPS, 4),
     }))
 
 
