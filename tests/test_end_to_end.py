@@ -76,3 +76,41 @@ def test_overfit_improves_abs_rel():
         state, m = step(state, batch)
     after = abs_rel(state)
     assert after < before * 0.35, (before, after)
+
+
+def test_distill_checkpoint_infer_turbo_roundtrip(tmp_path):
+    """distill_turbo CLI -> 'turbo' checkpoint group -> infer CLI turbo mode."""
+    from PIL import Image
+
+    from tf_depth_estimation_tpu.infer import cli as infer_cli
+    from tf_depth_estimation_tpu.train.experiments import distill_turbo
+
+    ck = str(tmp_path / "ck")
+    state, _ = distill_turbo.main([
+        "--checkpoint_dir", ck, "--turbo_variant", "small",
+        "--image_height", "64", "--image_width", "96", "--batch_size", "2",
+        "--max_steps", "2", "--summary_freq", "2", "--validation_check", "0",
+        "--save_latest_freq", "2", "--dtype", "float32",
+    ])
+    assert int(state.step) == 2
+
+    frames_dir = tmp_path / "frames"
+    frames_dir.mkdir()
+    rng2 = np.random.RandomState(3)
+    for i in range(3):
+        Image.fromarray((rng2.rand(64, 96, 3) * 255).astype(np.uint8)).save(
+            str(frames_dir / f"f{i}.jpg"))
+
+    out_dir = str(tmp_path / "out")
+    written = infer_cli.main([
+        "--dataset_dir", str(frames_dir), "--output_dir", out_dir,
+        "--checkpoint_dir", ck, "--mode", "turbo", "--turbo_variant", "small",
+        "--image_height", "64", "--image_width", "96",
+        "--out_height", "24", "--out_width", "48", "--batch_size", "2",
+        "--dtype", "float32", "--no_bilateral",
+    ])
+    assert len(written) == 3
+    z = np.fromfile(written[0], np.float32)
+    # INTER_CUBIC postprocess (ref batch_prediction.py:72) can overshoot below 0
+    # near zero-valued sigmoid outputs, so only the mean is sign-checked
+    assert z.size == 24 * 48 and np.isfinite(z).all() and z.mean() > 0

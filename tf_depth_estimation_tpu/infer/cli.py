@@ -21,8 +21,13 @@ def main(argv=None):
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--output_dir", required=True)
     p.add_argument("--checkpoint_dir", required=True)
-    p.add_argument("--checkpoint_group", default="model")
-    p.add_argument("--mode", choices=["depth", "pair"], default="depth")
+    p.add_argument("--checkpoint_group", default=None,
+                   help="orbax group (default: 'model'; 'turbo' in turbo mode — "
+                        "pass 'model' explicitly for a depth_only --turbo run)")
+    p.add_argument("--mode", choices=["depth", "pair", "turbo"], default="depth",
+                   help="'turbo' serves a TurboDepthNet student (models/turbo.py); "
+                        "combine with --turbo_variant")
+    p.add_argument("--turbo_variant", default="base")
     p.add_argument("--image_height", type=int, default=224,
                    help="network input height (ref batch_prediction.py: 224)")
     p.add_argument("--image_width", type=int, default=224)
@@ -40,20 +45,35 @@ def main(argv=None):
     if args.mode == "depth":
         model = DispNet(DispNetVariant.depth4(), dtype=dtype)
         ex = jnp.zeros((1, H, W, 3))
+    elif args.mode == "turbo":
+        from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+        turbo_variant = TurboVariant.by_name(args.turbo_variant)
+        model = TurboDepthNet(turbo_variant, dtype=dtype)
+        ex = jnp.zeros((1, H, W, 3))
     else:
         model = DepthPoseNet(full_resolution=False, dtype=dtype)
         ex = jnp.zeros((1, H, W, 6))
     state = create_train_state(model, ex)
 
+    if args.checkpoint_group is None:
+        args.checkpoint_group = "turbo" if args.mode == "turbo" else "model"
     mgr = CheckpointManager(args.checkpoint_dir)
     from tf_depth_estimation_tpu.train.loop import _save_tree, load_into_state
 
     tree = mgr.restore_group(args.checkpoint_group, like=_save_tree(state))
     state = load_into_state(state, tree)
 
-    cls = DepthPredictor if args.mode == "depth" else PairPredictor
-    pred = cls(state.params, state.batch_stats, height=H, width=W,
-               batch_size=args.batch_size, dtype=dtype)
+    if args.mode == "turbo":
+        from tf_depth_estimation_tpu.infer.predictor import TurboPredictor
+
+        pred = TurboPredictor(state.params, state.batch_stats, variant=turbo_variant,
+                              height=H, width=W, batch_size=args.batch_size,
+                              dtype=dtype)
+    else:
+        cls = DepthPredictor if args.mode == "depth" else PairPredictor
+        pred = cls(state.params, state.batch_stats, height=H, width=W,
+                   batch_size=args.batch_size, dtype=dtype)
     written = pred.predict_directory(
         args.dataset_dir, args.output_dir, out_height=args.out_height,
         out_width=args.out_width, bilateral=not args.no_bilateral,
