@@ -34,13 +34,22 @@ def main():
 
     x0u8 = jnp.asarray((rng.rand(8, H, W, 3) * 255).astype(np.uint8))
     x0 = x0u8.astype(jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+    # jit every device-touching call: an unjitted init/apply dispatches op-by-op
+    # through the tunnel's remote compile service — minutes on a cold compile
+    # cache (hundreds of tiny executables) vs one graph compile
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), x0)
+
     # warm the BN running stats on the 0..255 frames so eval-mode activations sit at
     # trained-checkpoint-like scales (random-init stats against raw 0..255 inputs
     # inflate intermediate magnitudes and with them the bf16 rounding noise)
+    @jax.jit
+    def warm(variables, x):
+        _, upd = model.apply(variables, x, train=True, mutable=["batch_stats"])
+        return upd["batch_stats"]
+
     for _ in range(2):
-        _, upd = model.apply(variables, x0, train=True, mutable=["batch_stats"])
-        variables = {**variables, "batch_stats": upd["batch_stats"]}
+        variables = {**variables, "batch_stats": warm(variables, x0)}
 
     @jax.jit
     def fwd_sum(x):
@@ -54,7 +63,9 @@ def main():
 
     # self-check: the fast path (uint8-staged) must agree with the module forward on
     # the same integral frames (bf16 noise only)
-    ref = np.asarray(model.apply(variables, x0, train=False)[0], np.float32)
+    ref = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False)[0]
+    )(variables, x0), np.float32)
     got = np.asarray(jax.jit(
         lambda v, x: fast_depth_forward(v, x.astype(jnp.bfloat16))[0]
     )(variables, x0u8), np.float32)
