@@ -51,7 +51,9 @@ def create_train_state(
 ) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     inputs = example_input if isinstance(example_input, tuple) else (example_input,)
-    variables = model.init(rng, *inputs, train=True)
+    # jitted: an unjitted init dispatches the whole traced forward op-by-op — on the
+    # axon TPU tunnel that is one remote compile per op on a cold cache (minutes)
+    variables = jax.jit(lambda r: model.init(r, *inputs, train=True))(rng)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     tx = tx or adam(learning_rate, beta1)
