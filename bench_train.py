@@ -5,6 +5,7 @@ operating points on synthetic device-resident batches — pure step time, no inp
 pipeline:
 
   config 2  depth_only        DispNet(depth4)        240x720 b10  (train_depth_only.py:21-25)
+  config 2T depth_only        TurboDepthNet(colon)   240x720 b10  (extension: models/turbo.py)
   config 3  depth_then_cam    DepthPoseNet(full-res) 192x256 b16  (train_depth_then_cam.py)
   config 4  optflow_combine   DispNet(depth10_flow)  224x480 b10  (train_optflow_combine.py)
   config 5  on_demon          DepthPoseNet(trunc)    192x256 b16  (train_depth_only_onDemon.py)
@@ -110,6 +111,18 @@ def main(argv=None):
     state = create_train_state(model, batch["tgt_image"])
     dt = _measure(jit_step(make_depth_only_step(w)), state, batch)
     results.append({"metric": "train_steps_per_sec_depth_only_240x720_b10",
+                    "value": round(1.0 / dt, 3), "unit": "steps/sec",
+                    "frames_per_sec": round(B / dt, 1)})
+
+    # config 2T (extension): the turbo architecture on the SAME supervised pipeline
+    # and operating point as config 2 — the direct train-throughput A/B for the
+    # MXU-shaped re-design (models/turbo.py; colon preset fits 240x720)
+    from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+    model = TurboDepthNet(TurboVariant.colon(), dtype=jnp.bfloat16)
+    state = create_train_state(model, batch["tgt_image"])
+    dt = _measure(jit_step(make_depth_only_step(w)), state, batch)
+    results.append({"metric": "train_steps_per_sec_depth_only_turbo_240x720_b10",
                     "value": round(1.0 / dt, 3), "unit": "steps/sec",
                     "frames_per_sec": round(B / dt, 1)})
 
