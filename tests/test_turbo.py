@@ -217,3 +217,38 @@ class TestCliGuards:
         args = argparse.Namespace(seed=0, frames_glob="", batch_size=4)
         batch = next(_frame_batches(args, 64, 96))["image"]
         assert float(jnp.max(batch)) > 2.0  # 0..255, not 0..1
+
+
+class TestDistillMultiChip:
+    def test_dp_distill_step_matches_single_device(self):
+        """Distillation sharded over the 8-device data mesh == single-device: the
+        teacher+student graphs partition across the mesh (params/teacher vars
+        replicated, frames sharded) with XLA's gradient all-reduce."""
+        from tf_depth_estimation_tpu.parallel import (
+            batch_sharding,
+            make_mesh,
+            replicated_sharding,
+        )
+        from tf_depth_estimation_tpu.train.distill import make_distill_step
+        from tf_depth_estimation_tpu.train.state import adam, create_train_state
+
+        H, W, B = 64, 96, 8
+        teacher = DispNet(DispNetVariant.depth4())
+        x = jnp.asarray(np.random.RandomState(0).rand(B, H, W, 3).astype(np.float32))
+        t_vars = teacher.init(jax.random.PRNGKey(1), x[:1], train=False)
+
+        student = TurboDepthNet(TurboVariant.small())
+        step = make_distill_step(teacher.apply)
+
+        state1 = create_train_state(student, jnp.zeros((B, H, W, 3)), tx=adam(1e-3))
+        _, m1 = jax.jit(step)(state1, t_vars, x)
+
+        mesh = make_mesh(8)
+        repl, data = replicated_sharding(mesh), batch_sharding(mesh)
+        dp_step = jax.jit(step, in_shardings=(repl, repl, data),
+                          out_shardings=(repl, repl))
+        state2 = create_train_state(student, jnp.zeros((B, H, W, 3)), tx=adam(1e-3))
+        _, m2 = dp_step(state2, t_vars, jax.device_put(x, data))
+
+        np.testing.assert_allclose(float(m1["total_loss"]), float(m2["total_loss"]),
+                                   rtol=2e-4)
