@@ -120,21 +120,28 @@ def main(argv=None):
             time.sleep(args.poll_s)
             continue
         t0 = time.time()
-        frames, served = [], []
+        frames, served, failed = [], [], False
         for f in fresh:
             try:
                 frames.append(_load_frame(f, args.height, args.width))
                 served.append(f)
+                retries.pop(f, None)  # decoded now — don't leak old retry marks
             except Exception as e:
                 # A partially-written or corrupt frame must not kill the batch or
                 # the service loop: retry it next poll (the writer may still be
                 # flushing), then blacklist it.
+                failed = True
                 retries[f] = retries.get(f, 0) + 1
                 if retries[f] >= 2:
                     done.add(f)
+                    retries.pop(f, None)
                     print(f"skipping unreadable frame {f}: {e}", flush=True)
-        if not served:
+        if failed:
+            # a real poll interval must elapse before the failed frame's second
+            # (and final) attempt — otherwise a writer still flushing gets
+            # blacklisted microseconds after the first failure
             time.sleep(args.poll_s)
+        if not served:
             continue
         frames = np.stack(frames)
         zs = pred.predict_array(frames)
@@ -177,6 +184,7 @@ def _serve_arrays(args, pred, np):
                 break
             time.sleep(args.poll_s)
             continue
+        failed = False
         for f in fresh:
             t0 = time.time()
             try:
@@ -191,10 +199,19 @@ def _serve_arrays(args, pred, np):
             except Exception as e:
                 # a block mid-write or with the wrong shape must not kill the
                 # service: retry once next poll, then blacklist
+                failed = True
                 retries[f] = retries.get(f, 0) + 1
                 if retries[f] >= 2:
                     done.add(f)
+                    retries.pop(f, None)
                     print(f"skipping unreadable block {f}: {e}", flush=True)
+                continue
+            retries.pop(f, None)  # readable now — don't leak old retry marks
+            if frames.shape[0] == 0:
+                # a zero-frame block is valid on disk but has nothing to serve;
+                # predict_array would raise on an empty concatenation
+                done.add(f)
+                print(f"skipping empty block {f}", flush=True)
                 continue
             zs = pred.predict_array(frames)
             out = os.path.join(
@@ -213,6 +230,10 @@ def _serve_arrays(args, pred, np):
                   f"{dt:.3f}s ({len(frames)/dt:.1f} fps end-to-end)", flush=True)
             if args.max_batches and batches >= args.max_batches:
                 return frames_served
+        if failed:
+            # real poll delay before a failed block's final attempt (see the
+            # JPEG loop: a writer mid-flush must not be blacklisted instantly)
+            time.sleep(args.poll_s)
         if args.max_batches and batches >= args.max_batches:
             break
     return frames_served

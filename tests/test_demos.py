@@ -68,6 +68,9 @@ def test_serve_array_mode_blocks(tmp_path):
     out = tmp_path / "served"
     watch.mkdir()
     rng = np.random.RandomState(0)
+    # a_empty sorts first: a valid-on-disk zero-frame block must be skipped, not
+    # crash predict_array with an empty concatenation
+    np.save(str(watch / "a_empty.npy"), np.zeros((0, 32, 64, 3), np.uint8))
     np.save(str(watch / "block0.npy"),
             (rng.rand(3, 32, 64, 3) * 255).astype(np.uint8))
     np.save(str(watch / "badshape.npy"), np.zeros((2, 8, 8, 3), np.uint8))
@@ -81,6 +84,39 @@ def test_serve_array_mode_blocks(tmp_path):
     z = np.load(str(out / "block0_z.npy"))
     assert z.shape == (3, 32, 64) and z.dtype == np.float32
     assert np.isfinite(z).all()
+    assert not (out / "a_empty_z.npy").exists()
+
+
+def test_serve_array_mode_retry_then_blacklist(tmp_path):
+    """A permanently-unreadable block is retried across >=2 real poll passes and
+    blacklisted; the loop keeps polling and serves a block that arrives later."""
+    import threading
+
+    import serve
+
+    watch = tmp_path / "blocks"
+    out = tmp_path / "served"
+    watch.mkdir()
+    with open(str(watch / "corrupt.npy"), "wb") as f:
+        f.write(b"\x00" * 16)
+
+    def write_good_block():
+        rng = np.random.RandomState(1)
+        with open(str(watch / "late.part"), "wb") as fh:  # atomic-rename protocol
+            np.save(fh, (rng.rand(2, 32, 64, 3) * 255).astype(np.uint8))
+        os.replace(str(watch / "late.part"), str(watch / "late.npy"))
+
+    t = threading.Timer(1.0, write_good_block)
+    t.start()
+    try:
+        n = serve.main(["--watch_dir", str(watch), "--output_dir", str(out),
+                        "--height", "32", "--width", "64", "--batch_size", "4",
+                        "--max_batches", "1", "--poll_s", "0.05", "--array_mode"])
+    finally:
+        t.join()
+    assert n == 2  # the late block was served; corrupt never killed the loop
+    assert (out / "late_z.npy").exists()
+    assert not (out / "corrupt_z.npy").exists()
 
 
 def test_serve_turbo_model(frames, tmp_path):

@@ -78,6 +78,29 @@ def _bias_fold_kernel(w, t, in_hw, stride):
     return w_aug.at[:, :, :-1, :].set(w).at[tap_h, tap_w, -1, :].set(t)
 
 
+def conv_bias_folded_op(x, kernel, scale, shift, stride, dtype):
+    """relu(conv(x, kernel*scale) + shift) with BOTH affine terms inside the conv.
+
+    The scale folds into the kernel's output channels; the shift rides an
+    appended ones-input-channel via ``_bias_fold_kernel`` — exact when H, W
+    divide by ``stride`` (callers assert this).
+
+    This exists because XLA:TPU compiles the plain epilogue add ~11 ms/batch
+    slower when the shift is a non-splat vector (i.e. for every REAL checkpoint)
+    for the low-channel stem convs specifically: measured 49.6 -> 39.1 ms/batch
+    at 576x384 b128 by moving cnv1's shift into the conv (round-3 probe study;
+    deep encoder / decoder epilogue adds are free).  The ONE shared
+    implementation behind the DispNet (``fast.conv_bias_folded``) and
+    DepthPoseNet (``fast_pose.conv_stem``) stems.
+    """
+    w_aug = _bias_fold_kernel(kernel * scale, shift, x.shape[1:3], stride)
+    x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
+    y = jax.lax.conv_general_dilated(
+        x1, w_aug.astype(dtype), (stride, stride), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return jax.nn.relu(y)
+
+
 def fast_depth_forward(
     variables: Dict[str, Any],
     image: jnp.ndarray,
@@ -144,25 +167,9 @@ def fast_depth_forward(
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def conv_bias_folded(x, tree_p, tree_s, name, stride):
-        """conv+BN with BOTH affine terms inside the convolution.
-
-        The scale folds into the kernel's output channels; the shift rides an
-        appended ones-input-channel at kernel tap (pad_top, pad_top), which under
-        SAME padding reads input index ``stride*i`` for every output i — always in
-        bounds when H, W are divisible by ``stride`` — so
-        relu(conv([x, 1], [W*s; t@tap])) == relu(conv(x, W*s) + t) exactly.
-
-        This exists because XLA:TPU compiles the plain epilogue add ~11 ms/batch
-        slower when t is a non-splat vector (i.e. for every REAL checkpoint) for
-        the 3-channel stem conv specifically: measured 49.6 -> 39.1 ms/batch at
-        576x384 b128 by moving cnv1's shift into the conv (round-3 probe study;
-        deep encoder / decoder epilogue adds are free).
-        """
         s, t = _affine(tree_p, tree_s, name)
-        w_aug = _bias_fold_kernel(tree_p[name]["Conv_0"]["kernel"] * s, t,
-                                  x.shape[1:3], stride)
-        x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
-        return jax.nn.relu(conv(x1, w_aug.astype(dt), stride))
+        return conv_bias_folded_op(
+            x, tree_p[name]["Conv_0"]["kernel"], s, t, stride, dt)
 
     def enc_block(x, i, stride2_fn, stride1_fn):
         x = stride2_fn(x)
@@ -375,10 +382,7 @@ def fast_depth_forward(
         else:
             y_ph = conv_s1_overlapped(cat([x, d2u.astype(dt)]), w_i1)
         y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
-        d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
-        d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
-        d1_ph = (disp_scaling * jax.nn.sigmoid(d1_ph) + min_disp).astype(jnp.float32)
-        return [depth_to_space(d1_ph), d2, d3, d4]
+        return [depth_to_space(head_phase(y_ph, "disp1")), d2, d3, d4]
 
     # --- fused phase tail: nothing full-resolution until the last depth-to-space ---
     up1_ph = deconv3x3_s2_phase(x2, dw("upcnv1"), merge=False)  # [B,H/2,W/2,64]
@@ -387,7 +391,4 @@ def fast_depth_forward(
     cat_ph = jnp.concatenate([up1_ph, d2u_ph], -1)
     y_ph = conv_s1_phase(cat_ph, dec_w("icnv1"), group_sizes=(16, 1))
     y_ph = aff(y_ph, dec_p, dec_s, "icnv1", tiled=True)
-    d1_ph = conv_s1_phase(y_ph, cw(dec_p, "disp1"))
-    d1_ph = d1_ph + dec_p["disp1"]["Conv_0"]["bias"].astype(dt)
-    d1_ph = (disp_scaling * jax.nn.sigmoid(d1_ph) + min_disp).astype(jnp.float32)
-    return [depth_to_space(d1_ph), d2, d3, d4]
+    return [depth_to_space(head_phase(y_ph, "disp1")), d2, d3, d4]

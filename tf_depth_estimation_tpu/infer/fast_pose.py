@@ -32,7 +32,7 @@ from typing import Any, Dict, List, Tuple
 import jax
 import jax.numpy as jnp
 
-from tf_depth_estimation_tpu.infer.fast import _affine, _bias_fold_kernel
+from tf_depth_estimation_tpu.infer.fast import _affine, conv_bias_folded_op
 from tf_depth_estimation_tpu.ops.resize import resize_bilinear, resize_like
 
 
@@ -54,11 +54,12 @@ def fast_depth_pose_forward(
     p = variables["params"]
     st = variables["batch_stats"]
     H, W = image_pair.shape[1:3]
-    # the stem's in-conv bias tap reads input stride*i — exact only when H, W
-    # divide by the stem stride (see _bias_fold_kernel); every reference
-    # operating point (192x256, 240x720, 224x224/480) qualifies
-    assert H % 2 == 0 and W % 2 == 0, (
-        f"fast_depth_pose_forward requires even H, W, got {H}x{W}")
+    # %4: the bias tap needs stride-divisible H, W (see _bias_fold_kernel) AND the
+    # decoder needs disp4_up at H//4 to match the twice-ceil-halved cnv2b skip —
+    # even-but-not-%4 sizes (e.g. 190) pass a %2 check then crash in a concat.
+    # Every reference operating point (192x256, 240x720, 224x224/480) qualifies.
+    assert H % 4 == 0 and W % 4 == 0, (
+        f"fast_depth_pose_forward requires H, W divisible by 4, got {H}x{W}")
     dt = dtype
 
     def conv_raw(x, w, stride=1):
@@ -74,12 +75,9 @@ def fast_depth_pose_forward(
 
     def conv_stem(x, name, stride):
         # low-channel stem: shift INSIDE the conv via the ones-channel tap
-        # (shared tap math: fast.py _bias_fold_kernel; see its docstring)
+        # (one shared implementation: fast.conv_bias_folded_op, see its docstring)
         s, t = _affine(p, st, name)
-        w_aug = _bias_fold_kernel(p[name]["Conv_0"]["kernel"] * s, t,
-                                  x.shape[1:3], stride)
-        x1 = jnp.concatenate([x, jnp.ones_like(x[..., :1])], -1)
-        return jax.nn.relu(conv_raw(x1, w_aug.astype(dt), stride))
+        return conv_bias_folded_op(x, p[name]["Conv_0"]["kernel"], s, t, stride, dt)
 
     def deconv(x, name):
         s, t = _affine(p, st, name)

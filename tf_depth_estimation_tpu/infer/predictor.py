@@ -103,6 +103,20 @@ def _postprocess(z: np.ndarray, out_height: int, out_width: int,
     return z.astype(np.float32)
 
 
+def _resolve_use_fast(use_fast, batch_stats, height: int, width: int) -> bool:
+    """Shared fast-path gate for the DepthPoseNet predictors: the folded eval
+    forward needs batch_stats and H, W divisible by 4 (fast_pose.py's guard);
+    ``use_fast=None`` auto-selects, ``False`` forces the plain module forward
+    (the escape hatch DepthPredictor has always had)."""
+    fast_ok = bool(batch_stats) and height % 4 == 0 and width % 4 == 0
+    if use_fast is None:
+        return fast_ok
+    if use_fast and not fast_ok:
+        raise ValueError(
+            "use_fast=True requires batch_stats and H, W divisible by 4")
+    return use_fast
+
+
 def _jit_sharded(fwd, num_devices: int, batch_size: int):
     """jit ``fwd`` with optional data-mesh batch sharding (params replicated)."""
     if num_devices > 1:
@@ -257,14 +271,18 @@ class FlowAugmentedPredictor:
     """
 
     def __init__(self, params, batch_stats=None, *, height: int = 192, width: int = 256,
-                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16):
+                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16,
+                 use_fast: Optional[bool] = None):
         self.height, self.width, self.batch_size = height, width, batch_size
         self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
         variables = {"params": params}
         if batch_stats:
+            variables["batch_stats"] = batch_stats
+        use_fast = _resolve_use_fast(use_fast, batch_stats, height, width)
+        self.uses_fast_path = use_fast
+        if use_fast:
             from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
 
-            variables["batch_stats"] = batch_stats
             # folded eval forward (infer/fast_pose.py; parity-locked): neutral at
             # 192x256 b16, guards larger shapes against the non-splat BN penalty
             self._fwd = jax.jit(lambda x: fast_depth_pose_forward(
@@ -300,14 +318,17 @@ class PairPredictor:
     """Consecutive-frame depth + 6-DoF pose export (ref ``batch_prediction_cam_est.py``)."""
 
     def __init__(self, params, batch_stats=None, *, height: int = 192, width: int = 256,
-                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16):
+                 full_resolution: bool = False, batch_size: int = 16, dtype=jnp.bfloat16,
+                 use_fast: Optional[bool] = None):
         self.height, self.width, self.batch_size = height, width, batch_size
         self.model = DepthPoseNet(full_resolution=full_resolution, dtype=dtype)
         variables = {"params": params}
         if batch_stats:
-            from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
-
             variables["batch_stats"] = batch_stats
+        use_fast = _resolve_use_fast(use_fast, batch_stats, height, width)
+        self.uses_fast_path = use_fast
+        if use_fast:
+            from tf_depth_estimation_tpu.infer.fast_pose import fast_depth_pose_forward
 
             def fwd(x):
                 # folded eval forward (infer/fast_pose.py; parity-locked): neutral
