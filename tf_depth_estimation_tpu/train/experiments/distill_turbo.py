@@ -56,7 +56,21 @@ def _frame_batches(args, H, W):
     teacher on the distribution it will be *served* on, so distillation runs on
     raw 0..255 for both nets.  Frames are decoded lazily per batch (a whole-glob
     eager decode would OOM the host on a realistic corpus) with a capped cache.
+
+    Mirror-x / rot180 augmentation (each p=0.5, the DeMoN reader's augmentations —
+    ``data/demon.py``) is FREE under distillation: the teacher labels whatever
+    input it sees, so any input transform just enriches the distribution (disable
+    with ``--no_aug``).
     """
+
+    def aug(batch, rng):
+        if not getattr(args, "aug", True):
+            return batch
+        flip = rng.rand(len(batch)) < 0.5
+        rot = rng.rand(len(batch)) < 0.5
+        batch = np.where(flip[:, None, None, None], batch[:, :, ::-1], batch)
+        return np.where(rot[:, None, None, None], batch[:, ::-1, ::-1], batch)
+
     rng = np.random.RandomState(args.seed)
     if args.frames_glob:
         paths = sorted(glob.glob(args.frames_glob))
@@ -78,7 +92,8 @@ def _frame_batches(args, H, W):
 
         while True:
             idx = rng.randint(0, len(paths), size=args.batch_size)
-            yield {"image": jnp.asarray(np.stack([load(paths[i]) for i in idx]))}
+            batch = np.stack([load(paths[i]) for i in idx])
+            yield {"image": jnp.asarray(aug(batch, rng))}
     else:
         from tf_depth_estimation_tpu.data.synthetic import _texture
 
@@ -86,7 +101,7 @@ def _frame_batches(args, H, W):
             [_texture(rng, H, W) for _ in range(16)]).astype(np.float32)
         while True:
             idx = rng.randint(0, len(frames), size=args.batch_size)
-            yield {"image": jnp.asarray(frames[idx])}
+            yield {"image": jnp.asarray(aug(frames[idx], rng))}
 
 
 def _load_teacher(args, H, W):
@@ -120,6 +135,8 @@ def main(argv=None):
                    choices=list(TurboVariant.PRESETS))
     p.add_argument("--image_height", type=int, default=384)
     p.add_argument("--image_width", type=int, default=576)
+    p.add_argument("--no_aug", dest="aug", action="store_false",
+                   help="disable the mirror-x/rot180 input augmentation")
     args = p.parse_args(argv)
 
     H, W = args.image_height, args.image_width

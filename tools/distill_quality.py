@@ -94,10 +94,17 @@ def main(argv=None):
     step = jit_step(make_distill_step(teacher.apply))
     evaluate = jax.jit(make_distill_eval(teacher.apply))
 
+    def aug(batch):
+        # mirror-x / rot180, free under distillation (teacher labels any input)
+        flip = rng.rand(len(batch)) < 0.5
+        rot = rng.rand(len(batch)) < 0.5
+        batch = np.where(flip[:, None, None, None], batch[:, :, ::-1], batch)
+        return np.where(rot[:, None, None, None], batch[:, ::-1, ::-1], batch)
+
     first = last = None
     for i in range(args.steps):
         idx = rng.randint(0, len(train_frames), size=args.batch_size)
-        state, metrics = step(state, t_vars, jnp.asarray(train_frames[idx]))
+        state, metrics = step(state, t_vars, jnp.asarray(aug(train_frames[idx])))
         if first is None:
             first = float(metrics["total_loss"])
         if (i + 1) % max(1, args.steps // 10) == 0:
