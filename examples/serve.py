@@ -112,8 +112,9 @@ def main(argv=None):
     batches = frames_served = 0
     print(f"watching {args.watch_dir} (poll {args.poll_s}s)", flush=True)
     while True:
-        fresh = [f for f in sorted(glob(os.path.join(args.watch_dir, "*.jpg")))
-                 if f not in done]
+        present = sorted(glob(os.path.join(args.watch_dir, "*.jpg")))
+        done &= set(present)  # forget deleted frames: bounded by directory size
+        fresh = [f for f in present if f not in done]
         if not fresh:
             if args.max_batches and batches >= args.max_batches:
                 break
@@ -177,7 +178,9 @@ def _serve_arrays(args, pred, np):
     print(f"watching {args.watch_dir} for *.npy blocks (poll {args.poll_s}s)",
           flush=True)
     while True:
-        fresh = [f for f in sorted(glob(os.path.join(args.watch_dir, "*.npy")))
+        present = sorted(glob(os.path.join(args.watch_dir, "*.npy")))
+        done &= set(present)  # forget deleted blocks: bounded by directory size
+        fresh = [f for f in present
                  if f not in done and not f.endswith("_z.npy")]
         if not fresh:
             if args.max_batches and batches >= args.max_batches:

@@ -150,21 +150,31 @@ class _SingleImagePredictor:
     def predict_directory(self, dataset_dir: str, output_dir: str, *,
                           out_height: int = 240, out_width: int = 720,
                           bilateral: bool = True) -> List[str]:
-        """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract)."""
+        """Glob ``*.jpg``, write ``<name>_z.bin`` float32 dumps (ref output contract).
+
+        Frames are decoded and predicted in bounded chunks (a few batches at a
+        time), so host memory stays O(chunk) regardless of directory size — the
+        reference streamed per-frame (``batch_prediction.py:57-77``); an eager
+        whole-directory decode would OOM on a production-sized corpus.
+        """
         os.makedirs(output_dir, exist_ok=True)
         img_list = sorted(glob(os.path.join(dataset_dir, "*.jpg")))
         if not img_list:
             raise FileNotFoundError(
                 f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
                 "non-recursively, like the reference batch_prediction.py)")
-        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
-        preds = self.predict_array(frames)
         written = []
-        for path, z in zip(img_list, preds):
-            z = _postprocess(z, out_height, out_width, bilateral)
-            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
-            z.tofile(out)
-            written.append(out)
+        chunk = max(self.batch_size * 4, self._min_chunk)  # 4 batches in flight max
+        for i in range(0, len(img_list), chunk):
+            paths = img_list[i : i + chunk]
+            frames = np.stack(
+                [_load_frame(p, self.height, self.width) for p in paths])
+            preds = self.predict_array(frames)
+            for path, z in zip(paths, preds):
+                z = _postprocess(z, out_height, out_width, bilateral)
+                out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
+                z.tofile(out)
+                written.append(out)
         return written
 
 
@@ -361,13 +371,19 @@ class PairPredictor:
             raise FileNotFoundError(
                 f"no *.jpg frames in {dataset_dir!r} (frames are globbed "
                 "non-recursively, like the reference batch_prediction.py)")
-        frames = np.stack([_load_frame(p, self.height, self.width) for p in img_list])
-        depths, poses = self.predict_pairs(frames)
         written = []
-        for path, z, pose in zip(img_list[:-1], depths, poses):
-            np.savetxt(path + ".txt", pose, fmt="%f")  # pose export, cam_est.py:96-98
-            z = _postprocess(z, out_height, out_width, bilateral)
-            out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
-            z.tofile(out)
-            written.append(out)
+        # bounded chunks with a 1-frame overlap (pair i needs frames i and i+1) so
+        # host memory stays O(chunk) regardless of directory size
+        chunk = self.batch_size * 4
+        for i in range(0, max(len(img_list) - 1, 0), chunk):
+            paths = img_list[i : i + chunk + 1]
+            frames = np.stack(
+                [_load_frame(p, self.height, self.width) for p in paths])
+            depths, poses = self.predict_pairs(frames)
+            for path, z, pose in zip(paths[:-1], depths, poses):
+                np.savetxt(path + ".txt", pose, fmt="%f")  # pose export, cam_est.py:96-98
+                z = _postprocess(z, out_height, out_width, bilateral)
+                out = os.path.join(output_dir, os.path.basename(path) + "_z.bin")
+                z.tofile(out)
+                written.append(out)
         return written
