@@ -110,6 +110,55 @@ class TestTurboModel:
         assert np.mean(np.abs(p32 - p16)) < 0.05  # [0,4] output, bf16 rounding only
 
 
+class TestFastTurboForward:
+    """infer/fast_turbo.py is an exact rewrite of the eval module forward."""
+
+    def _warmed(self, variant, H=64, W=96):
+        model = TurboDepthNet(variant, dtype=jnp.float32)
+        rng = np.random.RandomState(7)
+        x0 = jnp.asarray((rng.rand(4, H, W, 3) * 255).astype(np.float32))
+        variables = model.init(jax.random.PRNGKey(0), x0, train=False)
+        # warm the BN stats: splat (init) stats would make the fold trivially
+        # exact; realistic non-splat stats are what the fold exists for
+        for _ in range(2):
+            _, mut = model.apply(variables, x0, train=True,
+                                 mutable=["batch_stats"])
+            variables = {**variables, "batch_stats": mut["batch_stats"]}
+        return model, variables
+
+    @pytest.mark.parametrize("fold", ["none", "base", "all"])
+    def test_matches_module_f32(self, fold):
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant.small()
+        model, variables = self._warmed(v)
+        x = jnp.asarray(np.random.RandomState(8).rand(2, 64, 96, 3)
+                        .astype(np.float32) * 255)
+        ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])
+        got = np.asarray(fast_turbo_forward(variables, x, v, dtype=jnp.float32,
+                                            fold=fold))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_patch2_four_stage(self):
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant("p2", patch=2, widths=(32, 64, 96, 96), fpn_width=32)
+        model, variables = self._warmed(v, H=32, W=48)
+        x = jnp.asarray(np.random.RandomState(9).rand(1, 32, 48, 3)
+                        .astype(np.float32) * 255)
+        ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])
+        got = np.asarray(fast_turbo_forward(variables, x, v, dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_size_guard(self):
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant.small()
+        model, variables = self._warmed(v)
+        with pytest.raises(AssertionError, match="divisible"):
+            fast_turbo_forward(variables, jnp.zeros((1, 60, 96, 3)), v)
+
+
 class TestDistillation:
     def test_student_converges_to_teacher(self):
         from tf_depth_estimation_tpu.train.distill import (

@@ -247,11 +247,17 @@ class TurboPredictor(_SingleImagePredictor):
     student trained with ``depth_only --turbo`` instead saw the loader's /255
     frames — pre-scale ``predict_array`` inputs accordingly (the same train/serve
     quirk the reference has for the parity net).
+
+    The forward runs through ``infer/fast_turbo.py`` (BN scale folded into the
+    kernels; exact, parity-locked by tests/test_turbo.py) — the measured serving
+    winner on the v5e (module 13.39 -> fast 13.16 ms/batch on turbo-small at
+    576x384 b128 with warmed stats).  ``use_fast=False`` forces the plain module
+    forward.
     """
 
     def __init__(self, params, batch_stats, *, variant=None, height: int = 384,
                  width: int = 576, batch_size: int = 128, dtype=jnp.bfloat16,
-                 num_devices: int = 1):
+                 num_devices: int = 1, use_fast: bool = True):
         from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
 
         self.height, self.width, self.batch_size = height, width, batch_size
@@ -261,11 +267,19 @@ class TurboPredictor(_SingleImagePredictor):
             raise ValueError(f"turbo-{v.name} needs H, W divisible by {m}")
         self.model = TurboDepthNet(v, dtype=dtype)
         variables = {"params": params, "batch_stats": batch_stats}
+        self.uses_fast_path = use_fast
 
-        def fwd(x):
-            x = x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.integer) else x
-            return self.model.apply(variables, x, train=False,
-                                    full_only=True)[0][..., 0]
+        if use_fast:
+            from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+            def fwd(x):
+                x = x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.integer) else x
+                return fast_turbo_forward(variables, x, v, dtype=dtype)[..., 0]
+        else:
+            def fwd(x):
+                x = x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.integer) else x
+                return self.model.apply(variables, x, train=False,
+                                        full_only=True)[0][..., 0]
 
         self._fwd = _jit_sharded(fwd, num_devices, batch_size)
         self._min_chunk = num_devices

@@ -50,11 +50,14 @@ def main(variant_name: str = "base"):
     for _ in range(2):
         variables = {**variables, "batch_stats": warm(variables, x0)}
 
+    from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
     @jax.jit
     def fwd_sum(x):
-        out = model.apply(variables, x.astype(jnp.bfloat16), train=False,
-                          full_only=True)
-        return jnp.sum(out[0])
+        # the production TurboPredictor forward (infer/fast_turbo.py, measured
+        # serving winner; exact vs the module forward — tests/test_turbo.py)
+        out = fast_turbo_forward(variables, x.astype(jnp.bfloat16), variant)
+        return jnp.sum(out)
 
     best, best_batch = 0.0, 0
     for B in (128, 256):
