@@ -158,6 +158,24 @@ class TestFastTurboForward:
         with pytest.raises(AssertionError, match="divisible"):
             fast_turbo_forward(variables, jnp.zeros((1, 60, 96, 3)), v)
 
+    def test_sprint_head_kernel_and_parity(self):
+        """sprint = small widths + 1x1 disp heads; fast path stays exact."""
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant.sprint()
+        model, variables = self._warmed(v)
+        k = variables["params"]["disp1"]["Conv_0"]["kernel"]
+        assert k.shape[:2] == (1, 1) and k.shape[3] == 16
+        x = jnp.asarray(np.random.RandomState(10).rand(2, 64, 96, 3)
+                        .astype(np.float32) * 255)
+        ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])
+        got = np.asarray(fast_turbo_forward(variables, x, v, dtype=jnp.float32))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        # full pyramid contract intact (aux heads share the head kernel)
+        preds = model.apply(variables, x, train=False)
+        assert [tuple(p.shape[1:3]) for p in preds] == [
+            (64, 96), (32, 48), (16, 24), (8, 12)]
+
 
 class TestDistillation:
     def test_student_converges_to_teacher(self):

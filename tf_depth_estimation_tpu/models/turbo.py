@@ -57,8 +57,13 @@ class TurboVariant:
     head_scale: float = 4.0                        # sigmoid*4, matching depth4 heads
     head_offset: float = 0.0
     bn_momentum: float = 0.99
+    # disp-head conv kernel. 3 matches the parity nets' head idiom; 1 removes the
+    # head's 8x MXU lane-pad tax (N = patch^2 = 16 channels at the base grid — the
+    # single largest padded-FLOPs item of the small serving graph, ~20% of its MXU
+    # time) while the receptive field stays covered by the 3x3 fuse conv it reads.
+    head_kernel: int = 3
 
-    PRESETS = ("base", "small", "wide", "colon")  # class attr, not a dataclass field
+    PRESETS = ("base", "small", "wide", "colon", "sprint")  # class attr, not a field
 
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
@@ -86,6 +91,14 @@ class TurboVariant:
     def wide() -> "TurboVariant":
         """Quality headroom for distillation: ~33 GFLOP/frame at 384x576."""
         return TurboVariant("wide", widths=(128, 256, 512, 512), fpn_width=160)
+
+    @staticmethod
+    def sprint() -> "TurboVariant":
+        """Serving-speed point: ``small`` widths with the 1x1 disparity head —
+        the measured padded-FLOPs optimum of the family at 576x384 (the 3x3
+        16-channel head is ~20% of ``small``'s MXU time for ~4% of its FLOPs)."""
+        return TurboVariant("sprint", widths=(64, 128, 256, 256), fpn_width=96,
+                            head_kernel=1)
 
     @staticmethod
     def colon() -> "TurboVariant":
@@ -151,7 +164,7 @@ class TurboDepthNet(nn.Module):
 
         def head(feat, ch, name):
             # linear conv with bias (no BN) — the disp-head idiom of the parity nets
-            return conv(feat, ch, name, act=False, bn=False)
+            return conv(feat, ch, name, act=False, bn=False, kernel=v.head_kernel)
 
         def to_disp(logits):
             return (v.head_scale * nn.sigmoid(logits) + v.head_offset).astype(
