@@ -50,7 +50,7 @@ def main(argv=None):
     p.add_argument("--no_bilateral", action="store_true")
     p.add_argument("--turbo", default="",
                    help="serve a distilled TurboDepthNet instead of the parity "
-                        "DispNet: pass the variant name (base|small|wide|colon); "
+                        "DispNet: pass a TurboVariant.PRESETS name; "
                         "--checkpoint_group then defaults to 'turbo' "
                         "(train/experiments/distill_turbo.py's group)")
     p.add_argument("--array_mode", action="store_true",

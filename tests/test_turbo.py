@@ -176,6 +176,26 @@ class TestFastTurboForward:
         assert [tuple(p.shape[1:3]) for p in preds] == [
             (64, 96), (32, 48), (16, 24), (8, 12)]
 
+    def test_nano_single_stem_conv_and_parity(self):
+        """nano = sprint minus the second stem conv; fast path stays exact."""
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant.nano()
+        assert v.stem_convs == 1
+        model, variables = self._warmed(v)
+        assert "stemb" not in variables["params"]
+        x = jnp.asarray(np.random.RandomState(11).rand(2, 64, 96, 3)
+                        .astype(np.float32) * 255)
+        ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])
+        for fold in ("none", "base", "all"):
+            got = np.asarray(
+                fast_turbo_forward(variables, x, v, dtype=jnp.float32, fold=fold))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        # full pyramid contract intact despite the missing stem conv
+        preds = model.apply(variables, x, train=False)
+        assert [tuple(p.shape[1:3]) for p in preds] == [
+            (64, 96), (32, 48), (16, 24), (8, 12)]
+
 
 class TestDistillation:
     def test_student_converges_to_teacher(self):

@@ -95,7 +95,8 @@ def fast_turbo_forward(
     x = space_to_depth_n(image.astype(dtype), p)
     feats = []
     x = conv(x, "stem")
-    x = conv(x, "stemb")
+    if v.stem_convs == 2:
+        x = conv(x, "stemb")
     feats.append(x)
     for i in range(2, len(v.widths) + 1):
         x = conv(x, f"enc{i}", stride=2)

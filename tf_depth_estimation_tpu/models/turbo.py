@@ -62,12 +62,20 @@ class TurboVariant:
     # single largest padded-FLOPs item of the small serving graph, ~20% of its MXU
     # time) while the receptive field stays covered by the 3x3 fuse conv it reads.
     head_kernel: int = 3
+    # number of stride-1 stem convs at the base grid (1 or 2).  The base grid is
+    # where the padded-FLOPs cost lives for the narrow variants: a 64-channel 3x3
+    # at 96x144 pads K and N to the 128x128 MXU (4x waste, ~2.7 ms/b128 each on
+    # v5e), and small/sprint carry three such convs (stem, stemb, fuse1) — ~60%
+    # of the whole 13.3 ms graph.  stem_convs=1 removes one of them.
+    stem_convs: int = 2
 
-    PRESETS = ("base", "small", "wide", "colon", "sprint")  # class attr, not a field
+    # class attr, not a dataclass field
+    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano")
 
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
         assert len(self.widths) >= 2
+        assert self.stem_convs in (1, 2)
 
     @staticmethod
     def by_name(name: str) -> "TurboVariant":
@@ -99,6 +107,15 @@ class TurboVariant:
         16-channel head is ~20% of ``small``'s MXU time for ~4% of its FLOPs)."""
         return TurboVariant("sprint", widths=(64, 128, 256, 256), fpn_width=96,
                             head_kernel=1)
+
+    @staticmethod
+    def nano() -> "TurboVariant":
+        """Past-the-north-star point: ``sprint`` minus the second stem conv —
+        the padded-FLOPs model says the base grid's three 128-padded 3x3 convs
+        dominate sprint's wall clock, and this is the one whose removal costs
+        only stem depth (the lateral + fuse path still mixes the base grid)."""
+        return TurboVariant("nano", widths=(64, 128, 256, 256), fpn_width=96,
+                            head_kernel=1, stem_convs=1)
 
     @staticmethod
     def colon() -> "TurboVariant":
@@ -144,7 +161,8 @@ class TurboDepthNet(nn.Module):
         # Encoder: stride-1 stem pair at the 1/patch base grid, then stride-2 stages.
         feats = []
         x = conv(x, v.widths[0], "stem")
-        x = conv(x, v.widths[0], "stemb")
+        if v.stem_convs == 2:
+            x = conv(x, v.widths[0], "stemb")
         feats.append(x)
         for i, w in enumerate(v.widths[1:], start=2):
             x = conv(x, w, f"enc{i}", stride=2)

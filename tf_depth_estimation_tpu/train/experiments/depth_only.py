@@ -33,7 +33,7 @@ def main(argv=None):
     p.add_argument("--image_height", type=int, default=240)
     p.add_argument("--image_width", type=int, default=720)
     p.add_argument("--turbo", default="",
-                   help="train a TurboDepthNet (base|small|wide|colon — the "
+                   help="train a TurboDepthNet (any TurboVariant.PRESETS name — the "
                         "MXU-shaped serving architecture, models/turbo.py) instead "
                         "of the parity DispNet; same 4-scale loss pyramid. 'colon' "
                         "fits the 240x720 operating point (divisibility 16)")

@@ -5,7 +5,7 @@ honest headline number): this reports what the MXU-shaped TurboDepthNet serves a
 the same operating point (576x384, uint8-staged frames, warmed BN stats, bf16).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_turbo.py
-       [base|small|wide] — prints one JSON line.
+       [any TurboVariant.PRESETS name] — prints one JSON line.
 """
 from __future__ import annotations
 
