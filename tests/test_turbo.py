@@ -176,14 +176,20 @@ class TestFastTurboForward:
         assert [tuple(p.shape[1:3]) for p in preds] == [
             (64, 96), (32, 48), (16, 24), (8, 12)]
 
-    def test_nano_single_stem_conv_and_parity(self):
-        """nano = sprint minus the second stem conv; fast path stays exact."""
+    @pytest.mark.parametrize("preset", ["nano", "pico"])
+    def test_nano_single_stem_conv_and_parity(self, preset):
+        """nano = sprint minus the second stem conv (pico: + 1x1 fuse1);
+        the fast path stays exact for both."""
         from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
 
-        v = TurboVariant.nano()
+        v = TurboVariant.by_name(preset)
         assert v.stem_convs == 1
         model, variables = self._warmed(v)
         assert "stemb" not in variables["params"]
+        k = variables["params"]["fuse1"]["Conv_0"]["kernel"]
+        assert k.shape[:2] == ((1, 1) if preset == "pico" else (3, 3))
+        # deeper fuse convs keep the 3x3 kernel regardless of fuse1_kernel
+        assert variables["params"]["fuse2"]["Conv_0"]["kernel"].shape[:2] == (3, 3)
         x = jnp.asarray(np.random.RandomState(11).rand(2, 64, 96, 3)
                         .astype(np.float32) * 255)
         ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])

@@ -68,9 +68,14 @@ class TurboVariant:
     # v5e), and small/sprint carry three such convs (stem, stemb, fuse1) — ~60%
     # of the whole 13.3 ms graph.  stem_convs=1 removes one of them.
     stem_convs: int = 2
+    # kernel of the level-1 (base-grid) decoder fuse conv.  3 everywhere else; 1
+    # removes the other ~4x-padded base-grid 3x3 (see stem_convs) at the cost of
+    # base-grid receptive field (the stem 3x3 + the upsampled deeper path then
+    # carry all spatial mixing at that grid).
+    fuse1_kernel: int = 3
 
     # class attr, not a dataclass field
-    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano")
+    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano", "pico")
 
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
@@ -116,6 +121,15 @@ class TurboVariant:
         only stem depth (the lateral + fuse path still mixes the base grid)."""
         return TurboVariant("nano", widths=(64, 128, 256, 256), fpn_width=96,
                             head_kernel=1, stem_convs=1)
+
+    @staticmethod
+    def pico() -> "TurboVariant":
+        """Fastest measured point: ``nano`` with a 1x1 level-1 fuse conv — the
+        last 4x-padded base-grid 3x3 removed.  11,766 fps/chip at 576x384 b128
+        on v5e (vs nano 10,296); capacity-probe before deploying (base-grid
+        spatial mixing rests on the single stem 3x3)."""
+        return TurboVariant("pico", widths=(64, 128, 256, 256), fpn_width=96,
+                            head_kernel=1, stem_convs=1, fuse1_kernel=1)
 
     @staticmethod
     def colon() -> "TurboVariant":
@@ -177,7 +191,8 @@ class TurboDepthNet(nn.Module):
             y = conv(y, 4 * f, f"up{lvl}", kernel=1, act=False)
             y = depth_to_space_n(y, 2)
             y = y + conv(feats[lvl - 1], f, f"lat{lvl}", kernel=1, act=False)
-            y = conv(y, f, f"fuse{lvl}")
+            y = conv(y, f, f"fuse{lvl}",
+                     kernel=v.fuse1_kernel if lvl == 1 else 3)
             levels[lvl] = y
 
         def head(feat, ch, name):
