@@ -125,9 +125,10 @@ class TurboVariant:
     @staticmethod
     def pico() -> "TurboVariant":
         """Fastest measured point: ``nano`` with a 1x1 level-1 fuse conv — the
-        last 4x-padded base-grid 3x3 removed.  11,766 fps/chip at 576x384 b128
-        on v5e (vs nano 10,296); capacity-probe before deploying (base-grid
-        spatial mixing rests on the single stem 3x3)."""
+        last 4x-padded base-grid 3x3 removed.  11,518.0 fps/chip at 576x384
+        b128 on v5e (recorded artifact BENCH_turbo_r03.json; a later probe run
+        hit 11,766) vs nano 10,295.5; capacity-probe before deploying
+        (base-grid spatial mixing rests on the single stem 3x3)."""
         return TurboVariant("pico", widths=(64, 128, 256, 256), fpn_width=96,
                             head_kernel=1, stem_convs=1, fuse1_kernel=1)
 

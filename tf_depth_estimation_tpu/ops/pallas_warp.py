@@ -25,6 +25,12 @@ lane-size-128 gathers build).  Until Mosaic grows cross-tile gathers, the compil
 path is disabled (``_TPU_GATHER_OK``) and ``bilinear_sample_fused`` falls back to the jnp
 sampler, whose XLA gather lowering uses the hardware gather unit directly.  The fused
 loss kernels that DO compile live in ``ops/pallas_losses.py``.
+
+SUPERSEDED BY ``ops/pallas_sample.py``: the banded two-step gather sampler there IS
+compiled on this toolchain (band DMA + 128-lane gathers), is exact, and is the
+production Pallas sampler (default for the optflow_combine and optflow_only configs —
+see the per-config table in ROADMAP.md).  This module is kept as the research record
+of the fully-fused approach and its Mosaic gather limitation.
 """
 from __future__ import annotations
 
