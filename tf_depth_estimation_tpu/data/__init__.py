@@ -7,6 +7,7 @@ DeMoN C++ HDF5 reader op (``Demon_Data_loader.py``) with:
 - ``demon``     — DeMoN-style HDF5 streaming (scene pool, weighted sources, augmentation)
 - ``pipeline``  — threaded host loader -> double-buffered ``jax.device_put`` prefetch
 - ``synthetic`` — synthetic dataset writers for tests and benchmarks
+- ``device_cache`` — HBM-resident corpus + on-device batch gather (small datasets)
 """
 
 from tf_depth_estimation_tpu.data.colon import (
@@ -15,9 +16,12 @@ from tf_depth_estimation_tpu.data.colon import (
     Dim11Dataset,
 )
 from tf_depth_estimation_tpu.data.demon import DemonDataset, DemonReaderParams
+from tf_depth_estimation_tpu.data.device_cache import DeviceCache, gather_batch
 from tf_depth_estimation_tpu.data.pipeline import BatchLoader, IterBatcher, StreamLoader, device_prefetch
 
 __all__ = [
+    "DeviceCache",
+    "gather_batch",
     "SimpleDepthDataset",
     "PairDepthDataset",
     "Dim11Dataset",
