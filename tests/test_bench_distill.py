@@ -1,0 +1,39 @@
+"""Tests for the distill-quality regression artifact tooling (tools/bench_distill.py)."""
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")  # tools/ is a repo-root package
+
+from tools.bench_distill import compare_to_baseline, main
+
+
+def _probe(name, mae):
+    return {"metric": f"turbo_{name}_distill_quality_96x64_400steps",
+            "holdout_mae_vs_teacher": mae, "holdout_absrel_vs_teacher": mae / 2}
+
+
+def test_compare_flags_regressions_and_missing():
+    base = [_probe("nano", 0.148), _probe("pico", 0.171)]
+    ok = [_probe("nano", 0.150), _probe("pico", 0.165)]
+    assert compare_to_baseline(ok, base, tolerance=0.15) == []
+    worse = [_probe("nano", 0.148 * 1.2)]  # regressed + pico dropped
+    failures = compare_to_baseline(worse, base, tolerance=0.15)
+    assert len(failures) == 2
+    assert any("pico" in f and "missing" in f for f in failures)
+
+
+def test_assembly_joins_chip_rows_and_fps(tmp_path):
+    chip = [{"variant": "teacher_depth4", "holdout_absrel_vs_gt": 0.1},
+            {"variant": "nano", "holdout_absrel_vs_teacher": 0.02}]
+    fps = [{"metric": "turbo_nano_frames_per_sec_per_chip_576x384_b128",
+            "value": 10295.5}]
+    chip_p, fps_p, out_p = tmp_path / "c.json", tmp_path / "f.json", tmp_path / "o.json"
+    chip_p.write_text(json.dumps(chip))
+    fps_p.write_text(json.dumps(fps))
+    main(["--skip_probes", "--chip_rows", str(chip_p), "--fps", str(fps_p),
+          "--out", str(out_p)])
+    got = json.loads(out_p.read_text())
+    rows = {r["variant"]: r for r in got["frontier"]}
+    assert rows["nano"]["fps_chip_576x384"] == 10295.5
+    assert "fps_chip_576x384" not in rows["teacher_depth4"]
+    assert got["capacity_probes"] == []

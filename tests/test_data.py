@@ -407,3 +407,22 @@ def test_batched_apply_tail_bucket_divisible_by_min_chunk():
     outs = _batched_apply(fwd, arrays, batch_size=12, min_chunk=6)
     assert sum(k for _z, k in outs) == 23
     assert all(s % 6 == 0 for s in seen), seen
+
+
+def test_batched_apply_readback_excludes_padded_rows():
+    """Padded tail rows are sliced off on device — the host pull moves only live
+    rows (VERDICT r3 item 8: ragged tails masked out of the readback)."""
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.infer.predictor import _batched_apply
+
+    def fwd(x):
+        # value encodes the row index so de-padding mistakes would be visible
+        return jnp.arange(x.shape[0], dtype=jnp.float32) + jnp.sum(x) * 0
+
+    arrays = np.ones((13, 4, 4, 3), np.float32)
+    outs = _batched_apply(fwd, arrays, batch_size=8)
+    # chunks: 8 full + 5-row tail padded to 8 but pulled as exactly 5
+    assert [z.shape[0] for z, _k in outs] == [8, 5]
+    assert [k for _z, k in outs] == [8, 5]
+    np.testing.assert_array_equal(outs[1][0], np.arange(5, dtype=np.float32))

@@ -80,15 +80,21 @@ def _batched_apply(fwd, arrays: np.ndarray, batch_size: int,
             yield chunk, keep
             i += keep
 
+    def pull(out, keep):
+        # padded rows are sliced off ON DEVICE before the host pull, so the
+        # readback moves only live rows (over a slow host link a full-batch pull
+        # of a 1-frame tail would otherwise cost a whole batch of transfer)
+        return jax.tree.map(lambda o: np.asarray(o[:keep]), out)
+
     outs = []
     pending = None  # (device_out, keep) enqueued but not yet pulled
     for chunk, keep in chunks():
         out = fwd(jnp.asarray(chunk))  # async: enqueue before pulling the previous
         if pending is not None:
-            outs.append((jax.tree.map(np.asarray, pending[0]), pending[1]))
+            outs.append((pull(*pending), pending[1]))
         pending = (out, keep)
     if pending is not None:
-        outs.append((jax.tree.map(np.asarray, pending[0]), pending[1]))
+        outs.append((pull(*pending), pending[1]))
     return outs
 
 

@@ -5,10 +5,13 @@ honest headline number): this reports what the MXU-shaped TurboDepthNet serves a
 the same operating point (576x384, uint8-staged frames, warmed BN stats, bf16).
 
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/bench_turbo.py
-       [any TurboVariant.PRESETS name] — prints one JSON line.
+       [any TurboVariant.PRESETS name] [--height 384 --width 576]
+       [--batches 128,256] — prints one JSON line.  The ``colon`` preset's own
+       operating point is ``--height 240 --width 720`` (ref train_depth_only.py:21-25).
 """
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -16,7 +19,15 @@ import time
 import numpy as np
 
 
-def main(variant_name: str = "base"):
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("variant", nargs="?", default="base")
+    ap.add_argument("--height", type=int, default=384)
+    ap.add_argument("--width", type=int, default=576)
+    ap.add_argument("--batches", default="128,256")
+    args = ap.parse_args(argv)
+    variant_name = args.variant
+
     from tf_depth_estimation_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -27,7 +38,7 @@ def main(variant_name: str = "base"):
 
     from tf_depth_estimation_tpu.utils.constants import NORTH_STAR_FPS
 
-    H, W = 384, 576
+    H, W = args.height, args.width
     variant = TurboVariant.by_name(variant_name)
     model = TurboDepthNet(variant, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
@@ -60,7 +71,7 @@ def main(variant_name: str = "base"):
         return jnp.sum(out)
 
     best, best_batch = 0.0, 0
-    for B in (128, 256):
+    for B in (int(b) for b in args.batches.split(",")):
         x = jnp.asarray((rng.rand(B, H, W, 3) * 255).astype(np.uint8))
         s = float(fwd_sum(x))  # compile + warm
         assert np.isfinite(s)
@@ -86,4 +97,4 @@ def main(variant_name: str = "base"):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "base")
+    main()

@@ -116,7 +116,7 @@ def main(argv=None):
           evaluate(state, t_vars, jnp.asarray(train_frames[: args.batch_size])).items()}
     ho = {k: float(v) for k, v in
           evaluate(state, t_vars, jnp.asarray(holdout[: args.batch_size])).items()}
-    print(json.dumps({
+    result = {
         "metric": f"turbo_{args.variant}_distill_quality_{W}x{H}_{args.steps}steps",
         "distill_loss_first": round(first, 4), "distill_loss_last": round(last, 4),
         "train_mae_vs_teacher": round(tr["mae_vs_teacher"], 4),
@@ -124,7 +124,9 @@ def main(argv=None):
         "train_absrel_vs_teacher": round(tr["absrel_vs_teacher"], 4),
         "holdout_absrel_vs_teacher": round(ho["absrel_vs_teacher"], 4),
         "teacher": "checkpoint" if args.teacher_checkpoint_dir else "warmed-random",
-    }))
+    }
+    print(json.dumps(result))
+    return result
 
 
 if __name__ == "__main__":
