@@ -20,7 +20,13 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset_dir", required=True)
     p.add_argument("--output_dir", required=True)
-    p.add_argument("--checkpoint_dir", required=True)
+    p.add_argument("--checkpoint_dir", default="",
+                   help="orbax checkpoint directory (this or --weights)")
+    p.add_argument("--weights", default="",
+                   help="flat .npz serving weights (tools/export_turbo_params.py; "
+                        "the committed weights/*.npz students load this way). "
+                        "If its metadata names a variant, it overrides "
+                        "--turbo_variant.")
     p.add_argument("--checkpoint_group", default=None,
                    help="orbax group (default: 'model'; 'turbo' in turbo mode — "
                         "pass 'model' explicitly for a depth_only --turbo run)")
@@ -41,6 +47,16 @@ def main(argv=None):
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     H, W = args.image_height, args.image_width
+    if bool(args.checkpoint_dir) == bool(args.weights):
+        p.error("pass exactly one of --checkpoint_dir / --weights")
+
+    npz_meta = {}
+    if args.weights:
+        from tf_depth_estimation_tpu.train.checkpoint import load_variables_npz
+
+        npz_vars, npz_meta = load_variables_npz(args.weights)
+        if args.mode == "turbo" and npz_meta.get("variant"):
+            args.turbo_variant = npz_meta["variant"]
 
     if args.mode == "depth":
         model = DispNet(DispNetVariant.depth4(), dtype=dtype)
@@ -54,25 +70,28 @@ def main(argv=None):
     else:
         model = DepthPoseNet(full_resolution=False, dtype=dtype)
         ex = jnp.zeros((1, H, W, 6))
-    state = create_train_state(model, ex)
+    if args.weights:
+        params, batch_stats = npz_vars["params"], npz_vars["batch_stats"]
+    else:
+        state = create_train_state(model, ex)
+        if args.checkpoint_group is None:
+            args.checkpoint_group = "turbo" if args.mode == "turbo" else "model"
+        mgr = CheckpointManager(args.checkpoint_dir)
+        from tf_depth_estimation_tpu.train.loop import _save_tree, load_into_state
 
-    if args.checkpoint_group is None:
-        args.checkpoint_group = "turbo" if args.mode == "turbo" else "model"
-    mgr = CheckpointManager(args.checkpoint_dir)
-    from tf_depth_estimation_tpu.train.loop import _save_tree, load_into_state
-
-    tree = mgr.restore_group(args.checkpoint_group, like=_save_tree(state))
-    state = load_into_state(state, tree)
+        tree = mgr.restore_group(args.checkpoint_group, like=_save_tree(state))
+        state = load_into_state(state, tree)
+        params, batch_stats = state.params, state.batch_stats
 
     if args.mode == "turbo":
         from tf_depth_estimation_tpu.infer.predictor import TurboPredictor
 
-        pred = TurboPredictor(state.params, state.batch_stats, variant=turbo_variant,
+        pred = TurboPredictor(params, batch_stats, variant=turbo_variant,
                               height=H, width=W, batch_size=args.batch_size,
                               dtype=dtype)
     else:
         cls = DepthPredictor if args.mode == "depth" else PairPredictor
-        pred = cls(state.params, state.batch_stats, height=H, width=W,
+        pred = cls(params, batch_stats, height=H, width=W,
                    batch_size=args.batch_size, dtype=dtype)
     written = pred.predict_directory(
         args.dataset_dir, args.output_dir, out_height=args.out_height,

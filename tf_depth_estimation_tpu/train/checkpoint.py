@@ -10,8 +10,9 @@ become named top-level groups in one checkpoint tree, restorable independently;
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -40,7 +41,19 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
         if like is not None:
             return self._mgr.restore(step, args=ocp.args.StandardRestore(like))
-        return self._mgr.restore(step)
+        # Templateless restore (tools that only have the directory, e.g.
+        # export_turbo_params.py): rebuild the target tree from the checkpoint's
+        # own array metadata — this orbax raises without a concrete, sharded
+        # template, so synthesize one on a host device.
+        import jax
+
+        path = os.path.join(self.directory, str(step), "default")
+        ck = ocp.StandardCheckpointer()
+        meta = ck.metadata(path).item_metadata.tree
+        sharding = jax.sharding.SingleDeviceSharding(jax.local_devices(backend="cpu")[0])
+        template = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding), meta)
+        return ck.restore(path, template)
 
     def restore_group(self, group: str, step: Optional[int] = None, like: Any = None) -> Any:
         """Restore a single named group (cross-phase restore,
@@ -50,3 +63,58 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+# ---------------------------------------------------------------------------
+# Flat .npz weight files — the portable, git-committable serving format.
+#
+# Orbax directories carry the optimizer state (3x the parameter bytes) and an
+# on-disk layout that can't live in a repo; a serving checkpoint is just
+# {params, batch_stats}.  Keys are '/'-joined tree paths, values float32.
+# The reference's analog is the TF1 checkpoint restored by variable name
+# (``batch_prediction.py:49-55``); here the names are the flax tree paths.
+# ---------------------------------------------------------------------------
+
+_SEP = "/"
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
+    else:
+        out[prefix.rstrip(_SEP)] = np.asarray(tree, np.float32)
+    return out
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        node = tree
+        *parents, leaf = key.split(_SEP)
+        for p in parents:
+            node = node.setdefault(p, {})
+        node[leaf] = value
+    return tree
+
+
+def save_variables_npz(path: str, variables: Dict[str, Any], **meta: str):
+    """Write serving variables ({'params': ..., 'batch_stats': ...}) as one .npz.
+
+    ``meta`` keys are stored under ``__meta_<name>`` (e.g. variant='nano',
+    provenance notes) and returned by :func:`load_variables_npz`.
+    """
+    flat = _flatten({k: v for k, v in variables.items()})
+    for name, value in meta.items():
+        flat[f"__meta_{name}"] = np.asarray(str(value))
+    np.savez_compressed(path, **flat)
+
+
+def load_variables_npz(path: str):
+    """Inverse of :func:`save_variables_npz` -> (variables, meta)."""
+    with np.load(path) as data:
+        meta = {k[len("__meta_"):]: str(data[k]) for k in data.files
+                if k.startswith("__meta_")}
+        flat = {k: data[k] for k in data.files if not k.startswith("__meta_")}
+    return _unflatten(flat), meta

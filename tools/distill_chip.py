@@ -157,9 +157,19 @@ def main(argv=None):
 
     for name in args.variants.split(","):
         name = name.strip()
-        variant = TurboVariant.by_name(name)
-        student_bf16 = TurboDepthNet(variant, dtype=jnp.bfloat16)
-        student_f32 = TurboDepthNet(variant, dtype=jnp.float32)
+        if name == "depth4":
+            # Self-distillation floor probe: the parity architecture itself as the
+            # student.  Whatever abs-rel-vs-teacher a fresh depth4 converges to is
+            # the floor of the distillation PROCEDURE (corpus size, steps, teacher
+            # sampling) rather than of any student's capacity — the number that
+            # says whether a student could ever approach the 1e-3 parity budget.
+            variant = None
+            student_bf16 = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+            student_f32 = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
+        else:
+            variant = TurboVariant.by_name(name)
+            student_bf16 = TurboDepthNet(variant, dtype=jnp.bfloat16)
+            student_f32 = TurboDepthNet(variant, dtype=jnp.float32)
         # cosine decay to a clean finish (distillation has no reference schedule)
         sched = optax.cosine_decay_schedule(args.learning_rate, args.steps, 0.05)
         state = create_train_state(student_bf16, jnp.zeros((B, H, W, 3)),
@@ -187,10 +197,18 @@ def main(argv=None):
 
         # ---- eval: f32 function match + bf16 serving mode, on held-out frames
         s_vars = {"params": state.params, "batch_stats": state.batch_stats}
-        s_fwd32 = jax.jit(lambda v, x: student_f32.apply(
-            v, x, train=False, full_only=True)[0][..., 0])
-        s_fwd_serving = jax.jit(lambda v, x: fast_turbo_forward(
-            v, x.astype(jnp.bfloat16), variant, dtype=jnp.bfloat16)[..., 0])
+        if variant is None:
+            from tf_depth_estimation_tpu.infer.fast import fast_depth_forward
+
+            s_fwd32 = jax.jit(lambda v, x: student_f32.apply(
+                v, x, train=False)[0][..., 0])
+            s_fwd_serving = jax.jit(lambda v, x: fast_depth_forward(
+                v, x.astype(jnp.bfloat16), dtype=jnp.bfloat16)[0][..., 0])
+        else:
+            s_fwd32 = jax.jit(lambda v, x: student_f32.apply(
+                v, x, train=False, full_only=True)[0][..., 0])
+            s_fwd_serving = jax.jit(lambda v, x: fast_turbo_forward(
+                v, x.astype(jnp.bfloat16), variant, dtype=jnp.bfloat16)[..., 0])
         s32 = np.concatenate([np.asarray(s_fwd32(s_vars, c))
                               for c in chunked(holdout_d)], 0)
         sbf = np.concatenate([np.asarray(s_fwd_serving(s_vars, c), np.float32)
