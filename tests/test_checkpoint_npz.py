@@ -98,3 +98,42 @@ def test_infer_cli_weights_npz(tmp_path):
     z = np.fromfile(written[0], np.float32)
     assert z.size == 32 * 48 and np.isfinite(z).all()
     assert os.path.exists(written[2])
+
+
+def test_committed_weights_load_and_match_their_variant():
+    """Every .npz under weights/ decodes, carries variant metadata matching its
+    filename, and its params initialize the advertised architecture (shape-level
+    guard against corrupt or mislabeled committed weights)."""
+    import os
+
+    import jax
+
+    from tf_depth_estimation_tpu.models import (
+        DispNet,
+        DispNetVariant,
+        TurboDepthNet,
+        TurboVariant,
+    )
+
+    root = os.path.join(os.path.dirname(__file__), "..", "weights")
+    files = sorted(f for f in os.listdir(root) if f.endswith(".npz"))
+    assert files, "no committed weights found"
+    for name in files:
+        loaded, meta = load_variables_npz(os.path.join(root, name))
+        assert set(loaded) >= {"params", "batch_stats"}, name
+        if name.startswith("turbo_"):
+            variant_name = name.split("_")[1]
+            assert meta.get("variant") == variant_name, (name, meta)
+            model = TurboDepthNet(TurboVariant.by_name(variant_name))
+        else:
+            assert name.startswith("depth4_"), name
+            model = DispNet(DispNetVariant.depth4())
+        import jax.numpy as jnp
+
+        ref = jax.eval_shape(
+            lambda m=model: m.init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 96, 3), jnp.float32),
+                                   train=False))
+        got_shapes = jax.tree.map(lambda x: x.shape, loaded["params"])
+        ref_shapes = jax.tree.map(lambda x: x.shape, ref["params"])
+        assert got_shapes == ref_shapes, f"{name}: params shapes diverge"
