@@ -37,3 +37,30 @@ def test_assembly_joins_chip_rows_and_fps(tmp_path):
     assert rows["nano"]["fps_chip_576x384"] == 10295.5
     assert "fps_chip_576x384" not in rows["teacher_depth4"]
     assert got["capacity_probes"] == []
+
+
+def test_eval_depth_chip_scores_npz_weights(tmp_path):
+    """tools/eval_depth_chip.py scores a .npz-weights model on the distill
+    holdout and returns finite one-ruler metrics (CPU, tiny shapes)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+    from tf_depth_estimation_tpu.train.checkpoint import save_variables_npz
+    from tools.eval_depth_chip import main as eval_main
+
+    model = TurboDepthNet(TurboVariant.nano(), dtype=jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32))
+    path = str(tmp_path / "nano.npz")
+    save_variables_npz(path, {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"]},
+                       variant="nano")
+
+    row = eval_main(["--weights", path, "--model", "turbo:nano",
+                     "--height", "64", "--width", "96", "--holdout_frames", "2",
+                     "--batch_size", "2", "--cpu", "--label", "unit"])
+    assert row["resolution"] == "96x64"
+    for k in ("holdout_absrel_vs_gt", "holdout_mae_vs_gt",
+              "holdout_si_log_rmse_vs_gt"):
+        assert row[k] > 0 and row[k] < 100
