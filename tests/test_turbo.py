@@ -202,6 +202,29 @@ class TestFastTurboForward:
         assert [tuple(p.shape[1:3]) for p in preds] == [
             (64, 96), (32, 48), (16, 24), (8, 12)]
 
+    def test_femto_drops_encoder_refinement_convs_and_parity(self):
+        """femto = pico minus the enc*b refinement convs; the fast path stays
+        exact and the 4-scale pyramid contract is intact."""
+        from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
+
+        v = TurboVariant.by_name("femto")
+        assert v.enc_convs == 1 and v.stem_convs == 1
+        model, variables = self._warmed(v)
+        assert "stemb" not in variables["params"]
+        for i in range(2, len(v.widths) + 1):
+            assert f"enc{i}" in variables["params"]
+            assert f"enc{i}b" not in variables["params"]
+        x = jnp.asarray(np.random.RandomState(13).rand(2, 64, 96, 3)
+                        .astype(np.float32) * 255)
+        ref = np.asarray(model.apply(variables, x, train=False, full_only=True)[0])
+        for fold in ("none", "all"):
+            got = np.asarray(
+                fast_turbo_forward(variables, x, v, dtype=jnp.float32, fold=fold))
+            np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+        preds = model.apply(variables, x, train=False)
+        assert [tuple(p.shape[1:3]) for p in preds] == [
+            (64, 96), (32, 48), (16, 24), (8, 12)]
+
 
 class TestDistillation:
     def test_student_converges_to_teacher(self):

@@ -100,7 +100,8 @@ def fast_turbo_forward(
     feats.append(x)
     for i in range(2, len(v.widths) + 1):
         x = conv(x, f"enc{i}", stride=2)
-        x = conv(x, f"enc{i}b")
+        if v.enc_convs == 2:
+            x = conv(x, f"enc{i}b")
         feats.append(x)
 
     y = conv(feats[-1], "lat%d" % len(feats), relu=False)

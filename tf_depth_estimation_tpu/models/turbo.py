@@ -73,14 +73,22 @@ class TurboVariant:
     # base-grid receptive field (the stem 3x3 + the upsampled deeper path then
     # carry all spatial mixing at that grid).
     fuse1_kernel: int = 3
+    # convs per stride-2 encoder stage (1 or 2).  2 = stride-2 conv + stride-1
+    # refinement conv (the parity encoder's cnvN/cnvNb idiom); 1 drops the
+    # refinement convs — after the base-grid cuts (stem_convs/fuse1_kernel) the
+    # enc*b convs are the largest remaining non-structural cost of the narrow
+    # presets (round-4 distill evidence: task accuracy after distillation is
+    # teacher-bounded, not capacity-bounded, across the whole shipped ladder).
+    enc_convs: int = 2
 
     # class attr, not a dataclass field
-    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano", "pico")
+    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano", "pico", "femto")
 
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
         assert len(self.widths) >= 2
         assert self.stem_convs in (1, 2)
+        assert self.enc_convs in (1, 2)
 
     @staticmethod
     def by_name(name: str) -> "TurboVariant":
@@ -124,13 +132,28 @@ class TurboVariant:
 
     @staticmethod
     def pico() -> "TurboVariant":
-        """Fastest measured point: ``nano`` with a 1x1 level-1 fuse conv — the
-        last 4x-padded base-grid 3x3 removed.  11,518.0 fps/chip at 576x384
-        b128 on v5e (recorded artifact BENCH_turbo_r03.json; a later probe run
-        hit 11,766) vs nano 10,295.5; capacity-probe before deploying
-        (base-grid spatial mixing rests on the single stem 3x3)."""
+        """``nano`` with a 1x1 level-1 fuse conv — the last 4x-padded base-grid
+        3x3 removed.  11,867.6 fps/chip at 576x384 b128 on v5e (recorded
+        artifact BENCH_turbo_r04.json) vs nano 10,504.4; capacity-probe before
+        deploying (base-grid spatial mixing rests on the single stem 3x3).
+        ``femto`` below is the faster, thinner point."""
         return TurboVariant("pico", widths=(64, 128, 256, 256), fpn_width=96,
                             head_kernel=1, stem_convs=1, fuse1_kernel=1)
+
+    @staticmethod
+    def femto() -> "TurboVariant":
+        """``pico`` minus the encoder refinement convs (enc2b/enc3b/enc4b) — the
+        largest remaining non-structural cost after the base-grid cuts.  Fastest
+        measured point: 12,916.5 fps/chip at 576x384 b128 on v5e
+        (BENCH_turbo_r04.json) vs pico 11,867.6.  Distilled task accuracy stays
+        teacher-beating (abs-rel vs GT 0.0668 vs the teacher's 0.0718,
+        DISTILL_r04.json) though its vs-teacher tracking is the first outside
+        the family band (0.0365 vs 0.0332-0.0338); capacity probe 0.166 holdout
+        MAE sits between nano and pico.  Validate per deployment — spatial
+        mixing is down to one 3x3 per grid."""
+        return TurboVariant("femto", widths=(64, 128, 256, 256), fpn_width=96,
+                            head_kernel=1, stem_convs=1, fuse1_kernel=1,
+                            enc_convs=1)
 
     @staticmethod
     def colon() -> "TurboVariant":
@@ -181,7 +204,8 @@ class TurboDepthNet(nn.Module):
         feats.append(x)
         for i, w in enumerate(v.widths[1:], start=2):
             x = conv(x, w, f"enc{i}", stride=2)
-            x = conv(x, w, f"enc{i}b")
+            if v.enc_convs == 2:
+                x = conv(x, w, f"enc{i}b")
             feats.append(x)
 
         # FPN decoder: top-down subpixel upsample + add-lateral + 3x3 fuse.
