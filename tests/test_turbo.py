@@ -202,12 +202,13 @@ class TestFastTurboForward:
         assert [tuple(p.shape[1:3]) for p in preds] == [
             (64, 96), (32, 48), (16, 24), (8, 12)]
 
-    def test_femto_drops_encoder_refinement_convs_and_parity(self):
-        """femto = pico minus the enc*b refinement convs; the fast path stays
-        exact and the 4-scale pyramid contract is intact."""
+    @pytest.mark.parametrize("preset", ["femto", "atto"])
+    def test_femto_drops_encoder_refinement_convs_and_parity(self, preset):
+        """femto = pico minus the enc*b refinement convs (atto: + 64-ch FPN);
+        the fast path stays exact and the 4-scale pyramid contract is intact."""
         from tf_depth_estimation_tpu.infer.fast_turbo import fast_turbo_forward
 
-        v = TurboVariant.by_name("femto")
+        v = TurboVariant.by_name(preset)
         assert v.enc_convs == 1 and v.stem_convs == 1
         model, variables = self._warmed(v)
         assert "stemb" not in variables["params"]

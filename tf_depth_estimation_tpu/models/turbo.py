@@ -82,7 +82,8 @@ class TurboVariant:
     enc_convs: int = 2
 
     # class attr, not a dataclass field
-    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano", "pico", "femto")
+    PRESETS = ("base", "small", "wide", "colon", "sprint", "nano", "pico",
+               "femto", "atto")
 
     def __post_init__(self):
         assert self.patch in (2, 4), "subpixel d2 head needs an even patch"
@@ -152,6 +153,17 @@ class TurboVariant:
         MAE sits between nano and pico.  Validate per deployment — spatial
         mixing is down to one 3x3 per grid."""
         return TurboVariant("femto", widths=(64, 128, 256, 256), fpn_width=96,
+                            head_kernel=1, stem_convs=1, fuse1_kernel=1,
+                            enc_convs=1)
+
+    @staticmethod
+    def atto() -> "TurboVariant":
+        """``femto`` with a 64-channel FPN decoder — the probe that revealed the
+        decoder (96-ch fuse/up convs) as the biggest remaining cost of the thin
+        presets: 18,233.8 fps/chip at 576x384 b256 on v5e (BENCH_turbo_r04.json;
+        +41% over femto, 1.82x the 10k north star).  Validate per deployment —
+        function-matching capacity is the ladder's thinnest."""
+        return TurboVariant("atto", widths=(64, 128, 256, 256), fpn_width=64,
                             head_kernel=1, stem_convs=1, fuse1_kernel=1,
                             enc_convs=1)
 
