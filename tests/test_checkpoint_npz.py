@@ -137,3 +137,80 @@ def test_committed_weights_load_and_match_their_variant():
         got_shapes = jax.tree.map(lambda x: x.shape, loaded["params"])
         ref_shapes = jax.tree.map(lambda x: x.shape, ref["params"])
         assert got_shapes == ref_shapes, f"{name}: params shapes diverge"
+
+
+def test_npz_empty_collection_roundtrip(tmp_path):
+    """A BN-free model's batch_stats is {}; the loader must give it back as {}
+    (not KeyError far from the cause) — ADVICE r4."""
+    variables = {"params": {"w": np.ones((2, 2), np.float32)}, "batch_stats": {}}
+    path = str(tmp_path / "nobn.npz")
+    save_variables_npz(path, variables)
+    loaded, _ = load_variables_npz(path)
+    assert loaded["batch_stats"] == {}
+    np.testing.assert_array_equal(loaded["params"]["w"], variables["params"]["w"])
+
+
+def test_npz_rejects_non_float_leaves(tmp_path):
+    with pytest.raises(TypeError, match="non-float"):
+        save_variables_npz(str(tmp_path / "bad.npz"),
+                           {"params": {"step": np.asarray(3, np.int32)}})
+
+
+def test_templateless_restore_and_group_narrowing(tmp_path):
+    """CheckpointManager.restore() without a template (the export/eval tools'
+    path) and restore_group's narrowed partial restore — ADVICE r4: these had no
+    CPU coverage, so an orbax bump could silently break the tools."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.train.checkpoint import CheckpointManager
+
+    d = str(tmp_path / "ck")
+    mgr = CheckpointManager(d)
+    tree = {
+        "model": {"step": jnp.asarray(7),
+                  "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+                  "batch_stats": {}},
+        "opt": {"m": jnp.full((2, 3), 0.5)},
+    }
+    mgr.save(7, tree)
+
+    full = mgr.restore()  # templateless, whole tree
+    assert set(full) == {"model", "opt"}
+    np.testing.assert_allclose(np.asarray(full["model"]["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+
+    group = mgr.restore_group("model")  # templateless, narrowed
+    assert set(group) >= {"step", "params"}
+    assert int(group["step"]) == 7
+    np.testing.assert_allclose(np.asarray(group["params"]["w"]),
+                               np.arange(6.0).reshape(2, 3))
+    with pytest.raises(KeyError, match="nonexistent"):
+        mgr.restore(only_group="nonexistent")
+
+
+def test_infer_cli_weights_variant_mismatch_errors(tmp_path):
+    """A turbo .npz whose params don't match the constructed variant must fail
+    fast with a clear message naming the file — ADVICE r4 (previously an opaque
+    shape error inside the jitted forward)."""
+    jax = pytest.importorskip("jax")
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.infer import cli as infer_cli
+    from tf_depth_estimation_tpu.models import TurboDepthNet, TurboVariant
+
+    model = TurboDepthNet(TurboVariant.nano(), dtype=jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32))
+    path = str(tmp_path / "unlabeled.npz")  # no 'variant' metadata on purpose
+    save_variables_npz(path, {"params": variables["params"],
+                              "batch_stats": variables["batch_stats"]})
+    frames = tmp_path / "frames"
+    frames.mkdir()
+    with pytest.raises(SystemExit, match="does not match"):
+        infer_cli.main([
+            "--dataset_dir", str(frames), "--output_dir", str(tmp_path / "o"),
+            "--weights", path, "--mode", "turbo", "--turbo_variant", "base",
+            "--image_height", "64", "--image_width", "96",
+            "--dtype", "float32",
+        ])

@@ -72,6 +72,23 @@ def main(argv=None):
         ex = jnp.zeros((1, H, W, 6))
     if args.weights:
         params, batch_stats = npz_vars["params"], npz_vars["batch_stats"]
+        # Validate the loaded tree against this model's init shapes NOW, so a
+        # variant-mismatched .npz fails with the file name and expected variant
+        # instead of an opaque shape error inside the jitted forward.
+        import jax
+
+        ref = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), ex, train=False))
+        got = jax.tree_util.tree_map(lambda a: jnp.shape(a), params)
+        want = jax.tree_util.tree_map(lambda s: s.shape, ref["params"])
+        if got != want:
+            detail = (f"variant {args.turbo_variant!r}" if args.mode == "turbo"
+                      else f"mode {args.mode!r}")
+            raise SystemExit(
+                f"{args.weights} does not match {detail}: parameter tree "
+                f"shapes differ from the model's init shapes. If this is a "
+                f"turbo .npz without 'variant' metadata, pass the matching "
+                f"--turbo_variant explicitly.")
     else:
         state = create_train_state(model, ex)
         if args.checkpoint_group is None:

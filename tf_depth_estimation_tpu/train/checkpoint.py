@@ -35,7 +35,8 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
-    def restore(self, step: Optional[int] = None, like: Any = None) -> Any:
+    def restore(self, step: Optional[int] = None, like: Any = None,
+                only_group: Optional[str] = None) -> Any:
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
@@ -44,22 +45,36 @@ class CheckpointManager:
         # Templateless restore (tools that only have the directory, e.g.
         # export_turbo_params.py): rebuild the target tree from the checkpoint's
         # own array metadata — this orbax raises without a concrete, sharded
-        # template, so synthesize one on a host device.
+        # template, so synthesize one on a host device.  ``only_group`` narrows
+        # the synthesized template (PyTreeRestore partial_restore) so reading one
+        # group does not deserialize the 3x-size opt_state of the others.
         import jax
 
         path = os.path.join(self.directory, str(step), "default")
-        ck = ocp.StandardCheckpointer()
-        meta = ck.metadata(path).item_metadata.tree
+        meta = ocp.StandardCheckpointer().metadata(path).item_metadata.tree
         sharding = jax.sharding.SingleDeviceSharding(jax.local_devices(backend="cpu")[0])
         template = jax.tree_util.tree_map(
             lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype, sharding=sharding), meta)
-        return ck.restore(path, template)
+        if only_group is not None:
+            if only_group not in template:
+                raise KeyError(
+                    f"group {only_group!r} not in checkpoint {path} "
+                    f"(has {sorted(template)})")
+            template = {only_group: template[only_group]}
+            restore_args = jax.tree_util.tree_map(
+                lambda s: ocp.ArrayRestoreArgs(sharding=sharding, dtype=s.dtype),
+                template)
+            return ocp.PyTreeCheckpointer().restore(
+                path, args=ocp.args.PyTreeRestore(
+                    template, restore_args=restore_args, partial_restore=True))
+        return ocp.StandardCheckpointer().restore(path, template)
 
     def restore_group(self, group: str, step: Optional[int] = None, like: Any = None) -> Any:
         """Restore a single named group (cross-phase restore,
         ``split_training.py:174``: phase 2 loads only the pair net)."""
-        tree = self.restore(step, like={group: like} if like is not None else None)
-        return tree[group]
+        if like is not None:
+            return self.restore(step, like={group: like})[group]
+        return self.restore(step, only_group=group)[group]
 
     def close(self):
         self._mgr.close()
@@ -84,7 +99,13 @@ def _flatten(tree: Any, prefix: str = "") -> Dict[str, np.ndarray]:
         for k in sorted(tree):
             out.update(_flatten(tree[k], f"{prefix}{k}{_SEP}"))
     else:
-        out[prefix.rstrip(_SEP)] = np.asarray(tree, np.float32)
+        a = np.asarray(tree)
+        if not (np.issubdtype(a.dtype, np.floating)
+                or a.dtype.name in ("bfloat16", "float16")):
+            raise TypeError(
+                f"serving variable {prefix.rstrip(_SEP)!r} has non-float dtype "
+                f"{a.dtype} — .npz weights store f32 floats only")
+        out[prefix.rstrip(_SEP)] = a.astype(np.float32)
     return out
 
 
@@ -108,13 +129,27 @@ def save_variables_npz(path: str, variables: Dict[str, Any], **meta: str):
     flat = _flatten({k: v for k, v in variables.items()})
     for name, value in meta.items():
         flat[f"__meta_{name}"] = np.asarray(str(value))
+    # Record the top-level collection names: _flatten drops empty subtrees (a
+    # BN-free model has batch_stats={}), so the loader needs this to give them
+    # back as {} instead of a far-away KeyError in the consumer.
+    flat["__collections"] = np.asarray(",".join(sorted(variables)))
     np.savez_compressed(path, **flat)
 
 
 def load_variables_npz(path: str):
-    """Inverse of :func:`save_variables_npz` -> (variables, meta)."""
+    """Inverse of :func:`save_variables_npz` -> (variables, meta).
+
+    Top-level collections that were empty at save time (e.g. a BN-free model's
+    ``batch_stats``) come back as ``{}``.
+    """
     with np.load(path) as data:
         meta = {k[len("__meta_"):]: str(data[k]) for k in data.files
                 if k.startswith("__meta_")}
-        flat = {k: data[k] for k in data.files if not k.startswith("__meta_")}
-    return _unflatten(flat), meta
+        collections = ([c for c in str(data["__collections"]).split(",") if c]
+                       if "__collections" in data.files else [])
+        flat = {k: data[k] for k in data.files
+                if not (k.startswith("__meta_") or k == "__collections")}
+    tree = _unflatten(flat)
+    for name in collections:
+        tree.setdefault(name, {})
+    return tree, meta

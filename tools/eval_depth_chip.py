@@ -95,6 +95,14 @@ def main(argv=None):
     # (PairDepthDataset keeps _z.bin as-is; the synthetic scenes live in
     # [0.4, 3.75] — inside [0,4]).  Score predictions directly against GT depth,
     # exactly like tools/distill_chip.py's vs-GT rows.
+    #
+    # si-log-RMSE is the REFERENCE's form — sqrt(mean(d^2) + mean(d)^2), the '+'
+    # quirk of ``train_depth_only.py:248-249`` via ``losses/basic.py:si_log_rmse``
+    # — so this row is directly comparable with train_colon_chip's val metric.
+    # The standard Eigen-et-al variance form ('-') is reported separately as
+    # ``eigen_si_log_rmse_vs_gt`` (scale-invariant; flatters scale-biased models).
+    from tf_depth_estimation_tpu.losses.basic import si_log_rmse
+
     err = np.abs(preds - gt)
     si = np.log(np.maximum(preds, 1e-6)) - np.log(np.maximum(gt, 1e-6))
     row = {
@@ -103,7 +111,10 @@ def main(argv=None):
         "label": args.label,
         "holdout_absrel_vs_gt": round(float(np.mean(err / np.maximum(gt, 1e-3))), 5),
         "holdout_mae_vs_gt": round(float(np.mean(err)), 5),
-        "holdout_si_log_rmse_vs_gt": round(float(np.sqrt(
+        "holdout_si_log_rmse_vs_gt": round(float(si_log_rmse(
+            jnp.maximum(jnp.asarray(gt), 1e-6),
+            jnp.maximum(jnp.asarray(preds), 1e-6))), 5),
+        "eigen_si_log_rmse_vs_gt": round(float(np.sqrt(
             np.mean(si ** 2) - np.mean(si) ** 2)), 5),
         "resolution": f"{W}x{H}",
         "holdout_frames": args.holdout_frames,

@@ -40,9 +40,15 @@ def main(argv=None):
         save_variables_npz,
     )
 
+    for kv in args.meta:
+        if "=" not in kv:
+            p.error(f"--meta entries must be key=value (got {kv!r})")
     mgr = CheckpointManager(args.checkpoint_dir)
     tree = mgr.restore_group(args.group, step=args.step)
-    step = int(tree.get("step", args.step or mgr.latest_step()))
+    if "step" in tree:
+        step = int(tree["step"])
+    else:
+        step = int(args.step if args.step is not None else mgr.latest_step())
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
     meta = dict(kv.split("=", 1) for kv in args.meta)
     meta.setdefault("step", str(step))
