@@ -60,7 +60,10 @@ def make_corpus(num_frames: int, H: int, W: int, seed: int, keep_depth: bool = F
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--teacher_checkpoint_dir", required=True)
+    p.add_argument("--teacher_checkpoint_dir", default="")
+    p.add_argument("--teacher_weights", default="",
+                   help=".npz serving weights as the teacher instead (e.g. the "
+                        "val-early-stopped best.npz from train_colon_chip)")
     p.add_argument("--variants", default="small,nano,pico")
     p.add_argument("--height", type=int, default=384)
     p.add_argument("--width", type=int, default=576)
@@ -79,6 +82,8 @@ def main(argv=None):
     p.add_argument("--summary_freq", type=int, default=500)
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
     args = p.parse_args(argv)
+    if bool(args.teacher_checkpoint_dir) == bool(args.teacher_weights):
+        p.error("pass exactly one of --teacher_checkpoint_dir / --teacher_weights")
 
     if args.cpu:
         import jax
@@ -112,15 +117,28 @@ def main(argv=None):
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
     teacher_bf16 = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
     teacher_f32 = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
-    t_state = create_train_state(teacher_f32, x0)
-    mgr = CheckpointManager(args.teacher_checkpoint_dir)
-    if mgr.latest_step() is None:
-        raise FileNotFoundError(f"no checkpoint under {args.teacher_checkpoint_dir}")
-    t_state = load_into_state(t_state, mgr.restore_group("model",
-                                                         like=_save_tree(t_state)))
-    t_vars = {"params": t_state.params, "batch_stats": t_state.batch_stats}
-    print(f"# teacher restored from step {int(t_state.step)}", file=sys.stderr,
-          flush=True)
+    if args.teacher_weights:
+        from tf_depth_estimation_tpu.train.checkpoint import load_variables_npz
+
+        npz_vars, npz_meta = load_variables_npz(args.teacher_weights)
+        t_vars = {"params": jax.tree_util.tree_map(jnp.asarray, npz_vars["params"]),
+                  "batch_stats": jax.tree_util.tree_map(
+                      jnp.asarray, npz_vars["batch_stats"])}
+        teacher_step = int(npz_meta.get("step", -1))
+        print(f"# teacher loaded from {args.teacher_weights} "
+              f"(step {teacher_step}, meta {npz_meta})", file=sys.stderr, flush=True)
+    else:
+        t_state = create_train_state(teacher_f32, x0)
+        mgr = CheckpointManager(args.teacher_checkpoint_dir)
+        if mgr.latest_step() is None:
+            raise FileNotFoundError(
+                f"no checkpoint under {args.teacher_checkpoint_dir}")
+        t_state = load_into_state(t_state, mgr.restore_group("model",
+                                                             like=_save_tree(t_state)))
+        t_vars = {"params": t_state.params, "batch_stats": t_state.batch_stats}
+        teacher_step = int(t_state.step)
+        print(f"# teacher restored from step {teacher_step}", file=sys.stderr,
+              flush=True)
 
     # ---- corpus (disjoint seeds from the teacher's training data)
     t0 = time.time()
@@ -145,12 +163,28 @@ def main(argv=None):
                              chunked(holdout_d)], 0)
     gt = gt_depth[..., 0]
 
+    def absrel_per_frame(a, b):
+        """Per-frame mean abs-rel ([N]); the scalar metric is its frame mean."""
+        return np.mean(np.abs(a - b) / np.maximum(b, 1e-3), axis=(1, 2))
+
     def absrel(a, b):
-        return float(np.mean(np.abs(a - b) / np.maximum(b, 1e-3)))
+        return float(absrel_per_frame(a, b).mean())
+
+    def boot_ci95(per_frame, n_boot=2000, seed=0):
+        """Bootstrap 95% CI of the frame-mean (resampling frames) — the spread
+        estimate VERDICT r4 asked for before quoting fourth-decimal ladder
+        orderings from a finite holdout."""
+        rng = np.random.RandomState(seed)
+        idx = rng.randint(0, len(per_frame), size=(n_boot, len(per_frame)))
+        means = per_frame[idx].mean(axis=1)
+        return [round(float(np.percentile(means, 2.5)), 5),
+                round(float(np.percentile(means, 97.5)), 5)]
 
     rows = [{
-        "variant": "teacher_depth4", "teacher_step": int(t_state.step),
+        "variant": "teacher_depth4", "teacher_step": teacher_step,
+        "holdout_frames": int(args.holdout_frames),
         "holdout_absrel_vs_gt": round(absrel(t_pred, gt), 5),
+        "holdout_absrel_vs_gt_ci95": boot_ci95(absrel_per_frame(t_pred, gt)),
         "holdout_mae_vs_gt": round(float(np.mean(np.abs(t_pred - gt))), 5),
     }]
     print(json.dumps(rows[0]), flush=True)
@@ -218,11 +252,15 @@ def main(argv=None):
             "variant": name, "steps": args.steps, "wall_s": round(wall, 1),
             "steps_per_sec": round(args.steps / max(wall, 1e-9), 2),
             "distill_loss_first": round(first, 4), "distill_loss_last": round(last, 4),
+            "holdout_frames": int(args.holdout_frames),
             "holdout_absrel_vs_teacher": round(absrel(s32, t_pred), 5),
+            "holdout_absrel_vs_teacher_ci95": boot_ci95(
+                absrel_per_frame(s32, t_pred)),
             "holdout_mae_vs_teacher": round(float(np.mean(np.abs(s32 - t_pred))), 5),
             "serving_absrel_vs_teacher": round(absrel(sbf, t_pred), 5),
             "holdout_absrel_vs_gt": round(absrel(s32, gt), 5),
-            "resolution": f"{W}x{H}", "teacher_step": int(t_state.step),
+            "holdout_absrel_vs_gt_ci95": boot_ci95(absrel_per_frame(s32, gt)),
+            "resolution": f"{W}x{H}", "teacher_step": teacher_step,
             "augmented": bool(args.aug),
         }
         if args.checkpoint_root:

@@ -105,11 +105,18 @@ def main(argv=None):
 
     err = np.abs(preds - gt)
     si = np.log(np.maximum(preds, 1e-6)) - np.log(np.maximum(gt, 1e-6))
+    per_frame = np.mean(err / np.maximum(gt, 1e-3), axis=(1, 2))
+    rng = np.random.RandomState(0)
+    boots = per_frame[rng.randint(0, len(per_frame),
+                                  size=(2000, len(per_frame)))].mean(axis=1)
     row = {
         "model": args.model,
         "source": args.weights or args.checkpoint_dir,
         "label": args.label,
-        "holdout_absrel_vs_gt": round(float(np.mean(err / np.maximum(gt, 1e-3))), 5),
+        "holdout_absrel_vs_gt": round(float(per_frame.mean()), 5),
+        "holdout_absrel_vs_gt_ci95": [
+            round(float(np.percentile(boots, 2.5)), 5),
+            round(float(np.percentile(boots, 97.5)), 5)],
         "holdout_mae_vs_gt": round(float(np.mean(err)), 5),
         "holdout_si_log_rmse_vs_gt": round(float(si_log_rmse(
             jnp.maximum(jnp.asarray(gt), 1e-6),

@@ -90,6 +90,17 @@ def main(argv=None):
     p.add_argument("--validation_check", type=int, default=500)
     p.add_argument("--save_latest_freq", type=int, default=2000)
     p.add_argument("--continue_train", action="store_true")
+    p.add_argument("--no_aug", dest="aug", action="store_false",
+                   help="disable device-side mirror/rot180 of (frame, label). "
+                        "Augmentation is ON by default from round 5 — the gen-1/2 "
+                        "teachers trained without it and were diagnosed 15x "
+                        "overfit (artifacts/r04/DISTILL_floor_diag.json); the "
+                        "distill students always trained WITH it, so aug-off "
+                        "teachers are also evaluated out-of-protocol.")
+    p.add_argument("--early_stop_patience", type=int, default=0,
+                   help="stop after N validation checks without a new best val "
+                        "si-log-RMSE (0 = off); the best serving variables are "
+                        "written to <checkpoint_dir>/best.npz either way")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
     args = p.parse_args(argv)
 
@@ -102,6 +113,7 @@ def main(argv=None):
     enable_compilation_cache()
     import dataclasses
 
+    import jax
     import jax.numpy as jnp
     import numpy as np
 
@@ -133,7 +145,8 @@ def main(argv=None):
     n_train = len(frames) - args.val_frames
     cache = DeviceCache(
         {"tgt_image": frames[:n_train], "label": labels[:n_train]},
-        float_keys=("tgt_image",), aug_keys=())
+        float_keys=("tgt_image",),
+        aug_keys=("tgt_image", "label") if args.aug else ())
     val_batch = {"tgt_image": jnp.asarray(frames[n_train:], jnp.float32),
                  "label": jnp.asarray(labels[n_train:])}
     print(f"# corpus: {n_train} train + {args.val_frames} val frames at {W}x{H} "
@@ -166,15 +179,35 @@ def main(argv=None):
         st, cache.gather(data, idx, flip=flip, rot=rot)))
     val_step = jit_step(make_depth_only_val_step(w), donate_state=False)
 
+    stop = {"flag": False}
+
     def batches():
-        for idx, flip, rot in cache.index_stream(args.batch_size, seed=args.seed + 1):
+        stream = cache.index_stream(args.batch_size, seed=args.seed + 1,
+                                    augment=args.aug)
+        for idx, flip, rot in stream:
+            if stop["flag"]:
+                return
             yield {"idx": idx, "flip": flip, "rot": rot}
 
     val_hist = []
+    best = {"val": float("inf"), "step": -1, "vars": None}
 
     def val_fn(st):
         m = val_step(st, val_batch)
-        val_hist.append(float(m["si_log_rmse"]))
+        v = float(m["si_log_rmse"])
+        val_hist.append(v)
+        if v < best["val"]:
+            best.update(val=v, step=int(st.step), vars=jax.tree_util.tree_map(
+                lambda x: np.asarray(x, np.float32),
+                {"params": st.params, "batch_stats": st.batch_stats}))
+        elif (args.early_stop_patience
+              and len(val_hist) - 1 - int(np.argmin(val_hist))
+              >= args.early_stop_patience):
+            stop["flag"] = True
+            print(f"# early stop: no val improvement in "
+                  f"{args.early_stop_patience} checks (best "
+                  f"{best['val']:.5f} @ step {best['step']})",
+                  file=sys.stderr, flush=True)
         return m
 
     t1 = time.time()
@@ -188,6 +221,15 @@ def main(argv=None):
     )
     dt = time.time() - t1
     final_val = {k: float(v) for k, v in val_step(state, val_batch).items()}
+    if best["vars"] is not None:
+        from tf_depth_estimation_tpu.train.checkpoint import save_variables_npz
+
+        best_npz = os.path.join(args.checkpoint_dir, "best.npz")
+        save_variables_npz(best_npz, best["vars"], step=str(best["step"]),
+                           model=args.model,
+                           val_si_log_rmse=f"{best['val']:.5f}")
+    else:
+        best_npz = None
     print(json.dumps({
         "metric": f"train_colon_chip_{args.model}_{W}x{H}_b{args.batch_size}",
         "steps": int(state.step), "wall_s": round(dt, 1),
@@ -195,6 +237,10 @@ def main(argv=None):
         "final_train_total": round(float(last["total"]), 5) if last else None,
         "val_si_log_rmse": round(final_val["si_log_rmse"], 5),
         "val_total": round(final_val["total"], 5),
+        "best_val_si_log_rmse": round(best["val"], 5) if best_npz else None,
+        "best_step": best["step"] if best_npz else None,
+        "best_weights": best_npz,
+        "early_stopped": bool(stop["flag"]), "augmented": bool(args.aug),
         "val_history": [round(v, 5) for v in val_hist],
         "checkpoint_dir": args.checkpoint_dir, "dtype": args.dtype,
     }))
