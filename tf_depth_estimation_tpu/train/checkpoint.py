@@ -71,10 +71,22 @@ class CheckpointManager:
 
     def restore_group(self, group: str, step: Optional[int] = None, like: Any = None) -> Any:
         """Restore a single named group (cross-phase restore,
-        ``split_training.py:174``: phase 2 loads only the pair net)."""
-        if like is not None:
-            return self.restore(step, like={group: like})[group]
-        return self.restore(step, only_group=group)[group]
+        ``split_training.py:174``: phase 2 loads only the pair net).
+
+        Always a partial restore: the checkpoint may hold other groups (e.g. a
+        multi-group curriculum save), and only this group is deserialized.
+        """
+        if like is None:
+            return self.restore(step, only_group=group)[group]
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        path = os.path.join(self.directory, str(step), "default")
+        template = {group: like}
+        restore_args = ocp.checkpoint_utils.construct_restore_args(template)
+        return ocp.PyTreeCheckpointer().restore(
+            path, args=ocp.args.PyTreeRestore(
+                template, restore_args=restore_args, partial_restore=True))[group]
 
     def close(self):
         self._mgr.close()
