@@ -35,7 +35,8 @@ import sys
 import time
 
 
-def make_corpus(num_frames: int, H: int, W: int, seed: int, keep_depth: bool = False):
+def make_corpus(num_frames: int, H: int, W: int, seed: int, keep_depth: bool = False,
+                family: str = "v1"):
     """Frames drawn from the synthetic-colon scene distribution (JPEG-roundtripped
     like the real loader's inputs), raw 0..255 -> uint8.  ``keep_depth`` also
     returns the scenes' GT depth (for the vs-GT eval)."""
@@ -48,7 +49,7 @@ def make_corpus(num_frames: int, H: int, W: int, seed: int, keep_depth: bool = F
     frames = np.zeros((num_frames, H, W, 3), np.uint8)
     depths = np.zeros((num_frames, H, W, 1), np.float32) if keep_depth else None
     for i in range(num_frames):
-        tgt, _src, depth, _K, _pose = make_pair_scene(rng, H, W)
+        tgt, _src, depth, _K, _pose = make_pair_scene(rng, H, W, family=family)
         ok, buf = cv2.imencode(".jpg", tgt[..., ::-1].astype(np.uint8),
                                [cv2.IMWRITE_JPEG_QUALITY, 95])
         assert ok
@@ -80,6 +81,8 @@ def main(argv=None):
                         "loadable by infer.cli --mode turbo)")
     p.add_argument("--out", default="", help="write the row list (JSON) here")
     p.add_argument("--summary_freq", type=int, default=500)
+    p.add_argument("--scene_family", default="v1", choices=["v1", "rich"],
+                   help="synthetic scene family for corpus AND holdout")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
     args = p.parse_args(argv)
     if bool(args.teacher_checkpoint_dir) == bool(args.teacher_weights):
@@ -142,9 +145,11 @@ def main(argv=None):
 
     # ---- corpus (disjoint seeds from the teacher's training data)
     t0 = time.time()
-    frames = make_corpus(args.corpus_frames, H, W, seed=args.seed + 1000)
+    frames = make_corpus(args.corpus_frames, H, W, seed=args.seed + 1000,
+                         family=args.scene_family)
     holdout, gt_depth = make_corpus(args.holdout_frames, H, W,
-                                    seed=args.seed + 2000, keep_depth=True)
+                                    seed=args.seed + 2000, keep_depth=True,
+                                    family=args.scene_family)
     cache = DeviceCache({"image": frames}, float_keys=("image",),
                         aug_keys=("image",))
     holdout_d = jnp.asarray(holdout, jnp.float32)
@@ -182,6 +187,7 @@ def main(argv=None):
 
     rows = [{
         "variant": "teacher_depth4", "teacher_step": teacher_step,
+        "scene_family": args.scene_family,
         "holdout_frames": int(args.holdout_frames),
         "holdout_absrel_vs_gt": round(absrel(t_pred, gt), 5),
         "holdout_absrel_vs_gt_ci95": boot_ci95(absrel_per_frame(t_pred, gt)),
@@ -261,7 +267,7 @@ def main(argv=None):
             "holdout_absrel_vs_gt": round(absrel(s32, gt), 5),
             "holdout_absrel_vs_gt_ci95": boot_ci95(absrel_per_frame(s32, gt)),
             "resolution": f"{W}x{H}", "teacher_step": teacher_step,
-            "augmented": bool(args.aug),
+            "augmented": bool(args.aug), "scene_family": args.scene_family,
         }
         if args.checkpoint_root:
             cdir = os.path.join(args.checkpoint_root, name)

@@ -37,6 +37,8 @@ def main(argv=None):
                    help="distill_chip seed; holdout uses seed+2000")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--label", default="", help="extra 'label' field for the row")
+    p.add_argument("--scene_family", default="v1", choices=["v1", "rich"],
+                   help="synthetic scene family of the holdout")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
     if bool(args.checkpoint_dir) == bool(args.weights):
@@ -84,7 +86,8 @@ def main(argv=None):
     variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
     holdout, gt_depth = make_corpus(args.holdout_frames, H, W,
-                                    seed=args.seed + 2000, keep_depth=True)
+                                    seed=args.seed + 2000, keep_depth=True,
+                                    family=args.scene_family)
     x = jnp.asarray(holdout, jnp.float32)
     preds = np.concatenate(
         [np.asarray(fwd(variables, x[i : i + args.batch_size]))
@@ -125,6 +128,7 @@ def main(argv=None):
             np.mean(si ** 2) - np.mean(si) ** 2)), 5),
         "resolution": f"{W}x{H}",
         "holdout_frames": args.holdout_frames,
+        "scene_family": args.scene_family,
     }
     print(json.dumps(row), flush=True)
     return row

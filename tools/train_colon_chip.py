@@ -39,7 +39,8 @@ import sys
 import time
 
 
-def build_corpus(dataset_dir: str, num_frames: int, H: int, W: int, seed: int):
+def build_corpus(dataset_dir: str, num_frames: int, H: int, W: int, seed: int,
+                 family: str = "v1"):
     """Synthetic colon scenes on disk (reference formats) -> host arrays.
 
     Returns (frames_u8 [N,H,W,3], labels_f32 [N,H,W,1]).  Frames survive the
@@ -54,7 +55,7 @@ def build_corpus(dataset_dir: str, num_frames: int, H: int, W: int, seed: int):
     manifest = os.path.join(dataset_dir, "train.txt")
     if not os.path.exists(manifest):
         write_colon_pair_dataset(dataset_dir, num_frames=num_frames, H=H, W=W,
-                                 splits=("train",), seed=seed)
+                                 splits=("train",), seed=seed, family=family)
     ds = PairDepthDataset(dataset_dir, split="train", image_height=H, image_width=W,
                           resized_height=H, resized_width=W)
     frames = np.zeros((len(ds), H, W, 3), np.uint8)
@@ -101,6 +102,10 @@ def main(argv=None):
                    help="stop after N validation checks without a new best val "
                         "si-log-RMSE (0 = off); the best serving variables are "
                         "written to <checkpoint_dir>/best.npz either way")
+    p.add_argument("--scene_family", default="v1", choices=["v1", "rich"],
+                   help="synthetic scene family (data/synthetic.py); 'rich' has "
+                        "depth-coupled illumination so depth is learnable from "
+                        "the image")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
     args = p.parse_args(argv)
 
@@ -141,7 +146,7 @@ def main(argv=None):
 
     t0 = time.time()
     frames, labels = build_corpus(dataset_dir, args.train_frames + args.val_frames,
-                                  H, W, args.seed)
+                                  H, W, args.seed, family=args.scene_family)
     n_train = len(frames) - args.val_frames
     cache = DeviceCache(
         {"tgt_image": frames[:n_train], "label": labels[:n_train]},
