@@ -64,3 +64,29 @@ def test_eval_depth_chip_scores_npz_weights(tmp_path):
     for k in ("holdout_absrel_vs_gt", "holdout_mae_vs_gt",
               "holdout_si_log_rmse_vs_gt"):
         assert row[k] > 0 and row[k] < 100
+
+
+def test_frontier_comparison_uses_cis():
+    from tools.bench_distill import compare_frontier_to_baseline
+
+    def row(v, mean, lo, hi):
+        return {"variant": v, "holdout_absrel_vs_teacher": mean,
+                "holdout_absrel_vs_teacher_ci95": [lo, hi]}
+
+    base = [row("nano", 0.026, 0.024, 0.028), {"variant": "teacher_depth4"}]
+    # overlapping CIs: a higher mean is NOT a regression
+    ok = [row("nano", 0.0275, 0.0255, 0.0295)]
+    assert compare_frontier_to_baseline(ok, base) == []
+    # disjoint CIs above baseline: regression; missing variant: regression
+    bad = [row("pico", 0.03, 0.029, 0.031)]
+    failures = compare_frontier_to_baseline(bad, base)
+    assert any("missing" in f for f in failures)
+    worse = [row("nano", 0.035, 0.033, 0.037)]
+    failures = compare_frontier_to_baseline(worse, base)
+    assert len(failures) == 1 and "significant regression" in failures[0]
+    # pre-r5 baseline rows without CIs fall back to a 10% margin
+    base_nociv = [{"variant": "nano", "holdout_absrel_vs_teacher": 0.026}]
+    assert compare_frontier_to_baseline(
+        [row("nano", 0.028, 0.027, 0.029)], base_nociv) == []
+    assert compare_frontier_to_baseline(
+        [row("nano", 0.031, 0.030, 0.032)], base_nociv)

@@ -46,6 +46,34 @@ def compare_to_baseline(probes, baseline_probes, tolerance=0.15):
     return failures
 
 
+def compare_frontier_to_baseline(rows, baseline_rows):
+    """Frontier (trained-teacher, serving-point) regressions judged against
+    holdout noise: a variant regresses only if its bootstrap-CI lower bound on
+    abs-rel-vs-teacher exceeds the baseline's CI upper bound — the statistical
+    test VERDICT r4 asked for instead of eyeballing fourth decimals.  Rows
+    without CIs (pre-r5 artifacts) fall back to a 10% margin."""
+    got = {r.get("variant"): r for r in rows
+           if "holdout_absrel_vs_teacher" in r}
+    failures = []
+    for b in baseline_rows:
+        v = b.get("variant")
+        if v is None or "holdout_absrel_vs_teacher" not in b:
+            continue
+        if v not in got:
+            failures.append(f"frontier {v}: missing from current run")
+            continue
+        g = got[v]
+        b_hi = (b.get("holdout_absrel_vs_teacher_ci95")
+                or [None, 1.1 * float(b["holdout_absrel_vs_teacher"])])[1]
+        g_lo = (g.get("holdout_absrel_vs_teacher_ci95")
+                or [float(g["holdout_absrel_vs_teacher"]), None])[0]
+        if g_lo > b_hi:
+            failures.append(
+                f"frontier {v}: absrel-vs-teacher CI low {g_lo:.5f} above "
+                f"baseline CI high {b_hi:.5f} (significant regression)")
+    return failures
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--presets", default=",".join(PRESETS))
@@ -99,16 +127,21 @@ def main(argv=None):
         f.write("\n")
     print(f"# wrote {args.out}", file=sys.stderr)
 
-    if args.baseline and probes:
+    if args.baseline:
         with open(args.baseline) as f:
             base = json.load(f)
-        failures = compare_to_baseline(probes, base.get("capacity_probes", []),
-                                       args.tolerance)
+        failures = []
+        if probes:
+            failures += compare_to_baseline(probes, base.get("capacity_probes", []),
+                                            args.tolerance)
+        if args.chip_rows and base.get("frontier"):
+            failures += compare_frontier_to_baseline(artifact["frontier"],
+                                                     base["frontier"])
         for msg in failures:
             print(f"REGRESSION: {msg}", file=sys.stderr)
         if failures:
             sys.exit(1)
-        print(f"# no capacity regressions vs {args.baseline}", file=sys.stderr)
+        print(f"# no regressions vs {args.baseline}", file=sys.stderr)
 
 
 if __name__ == "__main__":
