@@ -60,13 +60,22 @@ class CheckpointManager:
                 raise KeyError(
                     f"group {only_group!r} not in checkpoint {path} "
                     f"(has {sorted(template)})")
-            template = {only_group: template[only_group]}
+            narrowed = {only_group: template[only_group]}
             restore_args = jax.tree_util.tree_map(
                 lambda s: ocp.ArrayRestoreArgs(sharding=sharding, dtype=s.dtype),
-                template)
-            return ocp.PyTreeCheckpointer().restore(
-                path, args=ocp.args.PyTreeRestore(
-                    template, restore_args=restore_args, partial_restore=True))
+                narrowed)
+            try:
+                return ocp.PyTreeCheckpointer().restore(
+                    path, args=ocp.args.PyTreeRestore(
+                        narrowed, restore_args=restore_args,
+                        partial_restore=True))
+            except Exception:
+                # Some checkpoints carry literal None leaves (optax EmptyState)
+                # in their on-disk structure, which the partial PyTreeRestore
+                # path asserts on; fall back to the full Standard restore and
+                # subselect (costs the sibling groups' deserialization only).
+                full = ocp.StandardCheckpointer().restore(path, template)
+                return {only_group: full[only_group]}
         return ocp.StandardCheckpointer().restore(path, template)
 
     def restore_group(self, group: str, step: Optional[int] = None, like: Any = None) -> Any:
@@ -84,9 +93,16 @@ class CheckpointManager:
         path = os.path.join(self.directory, str(step), "default")
         template = {group: like}
         restore_args = ocp.checkpoint_utils.construct_restore_args(template)
-        return ocp.PyTreeCheckpointer().restore(
-            path, args=ocp.args.PyTreeRestore(
-                template, restore_args=restore_args, partial_restore=True))[group]
+        try:
+            return ocp.PyTreeCheckpointer().restore(
+                path, args=ocp.args.PyTreeRestore(
+                    template, restore_args=restore_args,
+                    partial_restore=True))[group]
+        except Exception:
+            # None-leaf on-disk structures (see restore()); single-group
+            # checkpoints also land here and restore strictly.
+            return self._mgr.restore(step, args=ocp.args.StandardRestore(
+                {group: like}))[group]
 
     def close(self):
         self._mgr.close()
