@@ -51,13 +51,16 @@ def compare_frontier_to_baseline(rows, baseline_rows):
     holdout noise: a variant regresses only if its bootstrap-CI lower bound on
     abs-rel-vs-teacher exceeds the baseline's CI upper bound — the statistical
     test VERDICT r4 asked for instead of eyeballing fourth decimals.  Rows
-    without CIs (pre-r5 artifacts) fall back to a 10% margin."""
+    without CIs (pre-r5 artifacts) fall back to a 10% margin.  Baseline rows
+    whose variant name contains ``probe`` are one-off diagnostics (e.g. r4's
+    ``nano_24k_768corpus_scaling_probe``), not ladder points — they are not
+    required to recur in later rounds."""
     got = {r.get("variant"): r for r in rows
            if "holdout_absrel_vs_teacher" in r}
     failures = []
     for b in baseline_rows:
         v = b.get("variant")
-        if v is None or "holdout_absrel_vs_teacher" not in b:
+        if v is None or "holdout_absrel_vs_teacher" not in b or "probe" in v:
             continue
         if v not in got:
             failures.append(f"frontier {v}: missing from current run")

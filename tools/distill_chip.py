@@ -83,6 +83,14 @@ def main(argv=None):
     p.add_argument("--summary_freq", type=int, default=500)
     p.add_argument("--scene_family", default="v1", choices=["v1", "rich"],
                    help="synthetic scene family for corpus AND holdout")
+    p.add_argument("--train_dtype", default="bfloat16",
+                   choices=["bfloat16", "float32"],
+                   help="compute dtype of the DISTILLATION graph (teacher labels + "
+                        "student forward).  bfloat16 teacher labels carry the bf16 "
+                        "rounding of the teacher function itself (~1e-3 relative), "
+                        "which bounds how closely any student can match the f32 "
+                        "teacher; float32 removes that bound at ~2-3x the step cost "
+                        "(the 1e-3 parity-budget probe, BASELINE.json:5)")
     p.add_argument("--cpu", action="store_true", help="force the CPU platform")
     args = p.parse_args(argv)
     if bool(args.teacher_checkpoint_dir) == bool(args.teacher_weights):
@@ -115,10 +123,12 @@ def main(argv=None):
     from tf_depth_estimation_tpu.train.steps import jit_step
 
     H, W, B = args.height, args.width, args.batch_size
+    train_dtype = jnp.bfloat16 if args.train_dtype == "bfloat16" else jnp.float32
 
-    # ---- teacher (params restored once; bf16 apply for training labels, f32 for eval)
+    # ---- teacher (params restored once; train_dtype apply for training labels,
+    #      f32 for eval)
     x0 = jnp.zeros((1, H, W, 3), jnp.float32)
-    teacher_bf16 = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+    teacher_train = DispNet(DispNetVariant.depth4(), dtype=train_dtype)
     teacher_f32 = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
     if args.teacher_weights:
         from tf_depth_estimation_tpu.train.checkpoint import load_variables_npz
@@ -204,18 +214,18 @@ def main(argv=None):
             # sampling) rather than of any student's capacity — the number that
             # says whether a student could ever approach the 1e-3 parity budget.
             variant = None
-            student_bf16 = DispNet(DispNetVariant.depth4(), dtype=jnp.bfloat16)
+            student_train = DispNet(DispNetVariant.depth4(), dtype=train_dtype)
             student_f32 = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
         else:
             variant = TurboVariant.by_name(name)
-            student_bf16 = TurboDepthNet(variant, dtype=jnp.bfloat16)
+            student_train = TurboDepthNet(variant, dtype=train_dtype)
             student_f32 = TurboDepthNet(variant, dtype=jnp.float32)
         # cosine decay to a clean finish (distillation has no reference schedule)
         sched = optax.cosine_decay_schedule(args.learning_rate, args.steps, 0.05)
-        state = create_train_state(student_bf16, jnp.zeros((B, H, W, 3)),
+        state = create_train_state(student_train, jnp.zeros((B, H, W, 3)),
                                    tx=adam(sched))
 
-        base_step = make_distill_step(teacher_bf16.apply)
+        base_step = make_distill_step(teacher_train.apply)
         step = jit_step(lambda st, tv, data, idx, flip, rot: base_step(
             st, tv, cache.gather(data, idx, flip=flip, rot=rot)["image"]))
 
@@ -268,6 +278,7 @@ def main(argv=None):
             "holdout_absrel_vs_gt_ci95": boot_ci95(absrel_per_frame(s32, gt)),
             "resolution": f"{W}x{H}", "teacher_step": teacher_step,
             "augmented": bool(args.aug), "scene_family": args.scene_family,
+            "train_dtype": args.train_dtype,
         }
         if args.checkpoint_root:
             cdir = os.path.join(args.checkpoint_root, name)
