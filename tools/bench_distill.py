@@ -83,7 +83,15 @@ def main(argv=None):
     ap.add_argument("--steps", type=int, default=400)
     ap.add_argument("--out", default="DISTILL.json")
     ap.add_argument("--chip_rows", default="",
-                    help="distill_chip.py --out artifact to embed as the frontier")
+                    help="distill_chip.py --out artifact(s, comma-separated) to "
+                         "embed as the frontier; after the first file, teacher "
+                         "rows are renamed teacher_depth4_<WxH> from their file's "
+                         "student resolution (the r04 colon-row convention)")
+    ap.add_argument("--extra_sections", default="",
+                    help="name=path[,name=path...] row-list JSONs embedded as "
+                         "additional top-level sections (diagnostic families "
+                         "excluded from the frontier regression check, e.g. "
+                         "rich_family=..., f32_probe=..., scene_floors=...)")
     ap.add_argument("--fps", default="",
                     help="BENCH_turbo_r*.json to join fps onto the frontier rows")
     ap.add_argument("--baseline", default="",
@@ -104,8 +112,17 @@ def main(argv=None):
 
     artifact = {"capacity_probes": probes}
     if args.chip_rows:
-        with open(args.chip_rows) as f:
-            rows = json.load(f)
+        rows = []
+        for i, path in enumerate(args.chip_rows.split(",")):
+            with open(path.strip()) as f:
+                file_rows = json.load(f)
+            if i > 0:
+                res = next((r["resolution"] for r in file_rows
+                            if "resolution" in r), None)
+                for r in file_rows:
+                    if r.get("variant", "").startswith("teacher_") and res:
+                        r["variant"] = f"{r['variant']}_{res}"
+            rows += file_rows
         fps = {}
         if args.fps:
             with open(args.fps) as f:
@@ -115,8 +132,13 @@ def main(argv=None):
                         fps[m.split("_")[1]] = r["value"]
         for r in rows:
             if r.get("variant") in fps:
-                r["fps_chip_576x384"] = fps[r["variant"]]
+                res = r.get("resolution", "576x384")
+                r[f"fps_chip_{res}"] = fps[r["variant"]]
         artifact["frontier"] = rows
+    for spec in filter(None, args.extra_sections.split(",")):
+        name, _, path = spec.partition("=")
+        with open(path) as f:
+            artifact[name.strip()] = json.load(f)
     artifact["_note"] = (
         "capacity_probes: tools/distill_quality.py (CPU 64x96, warmed-random depth4 "
         "teacher, mirror/rot180 aug) — architecture function-matching capacity, "
