@@ -39,6 +39,40 @@ def test_assembly_joins_chip_rows_and_fps(tmp_path):
     assert got["capacity_probes"] == []
 
 
+def test_assembly_merges_multi_file_rows_and_extra_sections(tmp_path):
+    """Round-5 assembly: several distill_chip row files merge into one frontier
+    (later files' teacher rows renamed by their student resolution, the r04
+    colon convention), fps fields are keyed by each row's own resolution, and
+    --extra_sections embeds diagnostic row lists as named top-level keys."""
+    main_rows = [{"variant": "teacher_depth4", "holdout_absrel_vs_gt": 0.06},
+                 {"variant": "nano", "holdout_absrel_vs_teacher": 0.003,
+                  "resolution": "576x384"}]
+    colon_rows = [{"variant": "teacher_depth4", "holdout_absrel_vs_gt": 0.065},
+                  {"variant": "colon", "holdout_absrel_vs_teacher": 0.005,
+                   "resolution": "720x240"}]
+    rich_rows = [{"variant": "nano", "scene_family": "rich",
+                  "holdout_absrel_vs_teacher": 0.085}]
+    fps = [{"metric": "turbo_nano_f", "value": 10504.4},
+           {"metric": "turbo_colon_f", "value": 7295.9}]
+    paths = {}
+    for name, data in [("m", main_rows), ("c", colon_rows), ("r", rich_rows),
+                       ("f", fps)]:
+        p = tmp_path / f"{name}.json"
+        p.write_text(json.dumps(data))
+        paths[name] = str(p)
+    out_p = tmp_path / "o.json"
+    main(["--skip_probes", "--chip_rows", f"{paths['m']},{paths['c']}",
+          "--fps", paths["f"], "--extra_sections", f"rich_family={paths['r']}",
+          "--out", str(out_p)])
+    got = json.loads(out_p.read_text())
+    rows = {r["variant"]: r for r in got["frontier"]}
+    assert set(rows) == {"teacher_depth4", "nano", "teacher_depth4_720x240",
+                         "colon"}
+    assert rows["nano"]["fps_chip_576x384"] == 10504.4
+    assert rows["colon"]["fps_chip_720x240"] == 7295.9
+    assert got["rich_family"] == rich_rows
+
+
 def test_eval_depth_chip_scores_npz_weights(tmp_path):
     """tools/eval_depth_chip.py scores a .npz-weights model on the distill
     holdout and returns finite one-ruler metrics (CPU, tiny shapes)."""
