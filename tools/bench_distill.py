@@ -99,10 +99,18 @@ def main(argv=None):
     ap.add_argument("--tolerance", type=float, default=0.15)
     ap.add_argument("--skip_probes", action="store_true",
                     help="only assemble/merge (probes take ~minutes per preset)")
+    ap.add_argument("--probes_from", default="",
+                    help="reuse capacity_probes from a prior artifact (or bare "
+                         "row-list JSON) instead of re-running them — the "
+                         "assembly path when probes ran in a separate process")
     args = ap.parse_args(argv)
 
     probes = []
-    if not args.skip_probes:
+    if args.probes_from:
+        with open(args.probes_from) as f:
+            loaded = json.load(f)
+        probes = loaded["capacity_probes"] if isinstance(loaded, dict) else loaded
+    elif not args.skip_probes:
         from tools import distill_quality
 
         for name in args.presets.split(","):
