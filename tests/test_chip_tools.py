@@ -73,3 +73,43 @@ def test_distill_chip_npz_teacher_and_ci(tmp_path):
     lo, hi = student["holdout_absrel_vs_teacher_ci95"]
     assert lo <= student["holdout_absrel_vs_teacher"] <= hi
     assert np.isfinite(student["distill_loss_last"])
+
+
+def test_distill_chip_corpus_cache_and_photo_jitter(tmp_path):
+    """The round-5 scaling-probe plumbing: on-disk corpus cache (hit == miss
+    bytes) and per-sample photometric gain jitter through the distill step."""
+    import jax
+    import jax.numpy as jnp
+
+    from tf_depth_estimation_tpu.models import DispNet, DispNetVariant
+    from tf_depth_estimation_tpu.train.checkpoint import save_variables_npz
+    from tools.distill_chip import cached_corpus, main as distill_main
+
+    cdir = str(tmp_path / "corpus")
+    a = cached_corpus(cdir, 5, 32, 48, seed=7)            # miss: generates + saves
+    b = cached_corpus(cdir, 5, 32, 48, seed=7)            # hit: loads
+    np.testing.assert_array_equal(a, b)
+    ha, hd = cached_corpus(cdir, 3, 32, 48, seed=9, keep_depth=True)
+    hb, hdb = cached_corpus(cdir, 3, 32, 48, seed=9, keep_depth=True)
+    np.testing.assert_array_equal(hd, hdb)
+    assert len({p.name for p in (tmp_path / "corpus").iterdir()}) == 2
+
+    teacher = DispNet(DispNetVariant.depth4(), dtype=jnp.float32)
+    variables = jax.jit(lambda k, x: teacher.init(k, x, train=False))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3), jnp.float32))
+    tw = str(tmp_path / "teacher.npz")
+    save_variables_npz(tw, {"params": variables["params"],
+                            "batch_stats": variables["batch_stats"]}, step="1")
+    out = str(tmp_path / "rows.json")
+    distill_main([
+        "--teacher_weights", tw, "--variants", "nano",
+        "--height", "64", "--width", "96", "--steps", "3",
+        "--batch_size", "2", "--corpus_frames", "4", "--holdout_frames", "2",
+        "--summary_freq", "2", "--photo_jitter", "0.3",
+        "--corpus_cache", cdir, "--out", out, "--cpu",
+    ])
+    rows = json.loads(open(out).read())
+    student = rows[1]
+    assert student["photo_jitter"] == 0.3
+    assert student["corpus_frames"] == 4
+    assert np.isfinite(student["distill_loss_last"])

@@ -59,6 +59,30 @@ def make_corpus(num_frames: int, H: int, W: int, seed: int, keep_depth: bool = F
     return (frames, depths) if keep_depth else frames
 
 
+def cached_corpus(cache_dir: str, num_frames: int, H: int, W: int, seed: int,
+                  keep_depth: bool = False, family: str = "v1"):
+    """``make_corpus`` behind an on-disk .npz cache keyed by every generation
+    parameter.  Scene synthesis runs at ~6 frames/s on this image's single host
+    core, so multi-invocation campaigns (ladder re-distills, scaling probes) pay
+    minutes per run regenerating identical corpora; the cache makes that one-time."""
+    import numpy as np
+
+    if not cache_dir:
+        return make_corpus(num_frames, H, W, seed, keep_depth=keep_depth,
+                           family=family)
+    os.makedirs(cache_dir, exist_ok=True)
+    tag = f"{family}_{num_frames}x{H}x{W}_s{seed}{'_d' if keep_depth else ''}.npz"
+    path = os.path.join(cache_dir, tag)
+    if os.path.exists(path):
+        z = np.load(path)
+        print(f"# corpus cache hit: {path}", file=sys.stderr, flush=True)
+        return (z["frames"], z["depths"]) if keep_depth else z["frames"]
+    out = make_corpus(num_frames, H, W, seed, keep_depth=keep_depth, family=family)
+    np.savez(path, **({"frames": out[0], "depths": out[1]} if keep_depth
+                      else {"frames": out}))
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--teacher_checkpoint_dir", default="")
@@ -76,6 +100,17 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no_aug", dest="aug", action="store_false",
                    help="disable device-side mirror/rot180 augmentation")
+    p.add_argument("--photo_jitter", type=float, default=0.0,
+                   help="per-sample photometric gain jitter J: each batch frame is "
+                        "scaled by g ~ U[1-J, 1+J] (clipped back to [0,255]) BEFORE "
+                        "both the teacher and student forwards, so the teacher "
+                        "labels the jittered frame exactly — distillation on an "
+                        "enlarged input distribution (a distill-generalization "
+                        "lever; 0 disables)")
+    p.add_argument("--corpus_cache", default="",
+                   help="directory for on-disk .npz corpus caching (keyed by "
+                        "family/size/resolution/seed; saves ~6 frames/s of host "
+                        "synthesis per repeated invocation)")
     p.add_argument("--checkpoint_root", default="",
                    help="save each student under <root>/<variant> (group 'turbo', "
                         "loadable by infer.cli --mode turbo)")
@@ -155,11 +190,11 @@ def main(argv=None):
 
     # ---- corpus (disjoint seeds from the teacher's training data)
     t0 = time.time()
-    frames = make_corpus(args.corpus_frames, H, W, seed=args.seed + 1000,
-                         family=args.scene_family)
-    holdout, gt_depth = make_corpus(args.holdout_frames, H, W,
-                                    seed=args.seed + 2000, keep_depth=True,
-                                    family=args.scene_family)
+    frames = cached_corpus(args.corpus_cache, args.corpus_frames, H, W,
+                           seed=args.seed + 1000, family=args.scene_family)
+    holdout, gt_depth = cached_corpus(args.corpus_cache, args.holdout_frames, H, W,
+                                      seed=args.seed + 2000, keep_depth=True,
+                                      family=args.scene_family)
     cache = DeviceCache({"image": frames}, float_keys=("image",),
                         aug_keys=("image",))
     holdout_d = jnp.asarray(holdout, jnp.float32)
@@ -226,15 +261,24 @@ def main(argv=None):
                                    tx=adam(sched))
 
         base_step = make_distill_step(teacher_train.apply)
-        step = jit_step(lambda st, tv, data, idx, flip, rot: base_step(
-            st, tv, cache.gather(data, idx, flip=flip, rot=rot)["image"]))
+
+        def step_fn(st, tv, data, idx, flip, rot, gain):
+            img = cache.gather(data, idx, flip=flip, rot=rot)["image"]
+            img = jnp.clip(img * gain[:, None, None, None], 0.0, 255.0)
+            return base_step(st, tv, img)
+
+        step = jit_step(step_fn)
 
         t1 = time.time()
         first = last = None
+        jit_rng = np.random.RandomState(args.seed + 13)
+        ones = np.ones(B, np.float32)
         stream = cache.index_stream(B, seed=args.seed + 7, augment=args.aug,
                                     num_steps=args.steps)
         for i, (idx, flip, rot) in enumerate(stream):
-            state, metrics = step(state, t_vars, cache.data, idx, flip, rot)
+            gain = (1.0 + args.photo_jitter * (2.0 * jit_rng.rand(B) - 1.0)
+                    ).astype(np.float32) if args.photo_jitter else ones
+            state, metrics = step(state, t_vars, cache.data, idx, flip, rot, gain)
             if i == 0:
                 first = float(metrics["total_loss"])  # also forces compile timing
                 t1 = time.time()
@@ -279,6 +323,8 @@ def main(argv=None):
             "resolution": f"{W}x{H}", "teacher_step": teacher_step,
             "augmented": bool(args.aug), "scene_family": args.scene_family,
             "train_dtype": args.train_dtype,
+            "corpus_frames": int(args.corpus_frames),
+            "photo_jitter": float(args.photo_jitter),
         }
         if args.checkpoint_root:
             cdir = os.path.join(args.checkpoint_root, name)
